@@ -1,24 +1,102 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"turns-extracted/sec","value":N,"unit":"turns/sec",
+  *  "queries":{...per-query sec...},"sf":dir,
+  *  "scaling":{"cores_lo":8,"t_lo_sec":..,"cores_hi":32,"t_hi_sec":..,
+  *             "throughput_lo":..,"throughput_hi":..,"efficiency":..}}
+  *
+  * Scaling evidence for the north rule (BASELINE.md): the sandbox has no
+  * real cluster, so the same extraction job runs at two parallelism
+  * levels (local[hi] and local[hi/4]) on the same input; efficiency =
+  * (T_lo / T_hi) / 4 — 1.0 is perfect linear scaling.
+  */
 object Bench {
+
+  private def newSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Replicate the documents-derived turns `repl`× with distinct conv ids
+    * (deterministic), to get a measurable extraction volume. */
+  private def benchTurns(spark: SparkSession, sfDir: String, repl: Int) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Pipeline.turnsFromDocuments(spark, sfDir)
+    base.withColumn("r", explode(sequence(lit(0), lit(repl - 1))))
+      .withColumn("conv_id", concat(col("conv_id"), lit("-r"), col("r")))
+      .drop("r")
+      .as[graft.model.Turn]
+  }
+
+  private def runExtraction(spark: SparkSession, sfDir: String, repl: Int, parts: Int): (Long, Double) = {
+    val turns = benchTurns(spark, sfDir, repl)
+    val (n, sec) = time {
+      Pipeline.extractTurns(turns, parts).toDF()
+        .select("conv_id", "turn_idx", "status", "n_chars", "n_tokens")
+        .count()
+    }
+    (n, sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val lo = math.max(hi / 4, 1)
+    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "40").toInt
+
+    // --- headline queries at hi parallelism -------------------------------
+    val spark = newSession(hi)
+    val headline = Seq(
+      "q01_pushdown_agg", "q03_join_nation_revenue", "q05_word_freq",
+      "q09_dedup_exact", "q11_minhash_signature", "q13_ann_brute",
+      "q15_lang_id", "q16_quality", "q19_sessionize", "x01_extract_full")
+    val qTimes = headline.map { name =>
+      val fn = SparkEntry.queries(name)
+      val (_, warm) = time(fn(spark, sfDir).count()) // warm: plan + IO cache
+      val (_, sec) = time(fn(spark, sfDir).count())
+      name -> math.min(warm, sec)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // --- extraction throughput at hi, then lo ------------------------------
+    runExtraction(spark, sfDir, math.max(repl / 8, 1), hi * 2) // JIT warmup
+    val (nHi, tHi) = runExtraction(spark, sfDir, repl, hi * 2)
     spark.stop()
+
+    val sparkLo = newSession(lo)
+    runExtraction(sparkLo, sfDir, math.max(repl / 8, 1), lo * 2)
+    val (nLo, tLo) = runExtraction(sparkLo, sfDir, repl, lo * 2)
+    sparkLo.stop()
+
+    val thrHi = nHi / tHi
+    val thrLo = nLo / tLo
+    val eff = (thrHi / thrLo) / (hi.toDouble / lo)
+
+    def f(d: Double) = f"$d%.4f".toDouble
+    val qs = qTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    val scaling =
+      s"""{"cores_lo":$lo,"t_lo_sec":${f(tLo)},"cores_hi":$hi,"t_hi_sec":${f(tHi)},""" +
+        s""""throughput_lo":${f(thrLo)},"throughput_hi":${f(thrHi)},"efficiency":${f(eff)},""" +
+        s""""n_turns":$nHi}"""
+    println(
+      s"""{"metric":"turns-extracted/sec","value":${f(thrHi)},"unit":"turns/sec",""" +
+        s""""queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

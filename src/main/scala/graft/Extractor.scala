@@ -1,0 +1,117 @@
+package graft
+
+import graft.lib._
+import graft.model._
+
+/** Per-turn extraction — the reference's live request path re-expressed
+  * as one pure function (reference order: lib/smartglass_ocr.py:586-653
+  * [_process_image steps 9-12], :1212-1246 [process_file enrichment],
+  * app/api/routes.py:976-981 [final projection]).
+  *
+  * The OCR half of the reference is non-deterministic native code; in
+  * the transcript pipeline the payload IS the text, decoded with
+  * confidence 100 by the "transcript" engine, so the status ladder
+  * (confidence<30 → poor_quality, <60 → partial_success,
+  * smartglass_ocr.py:621-625) reduces to the length gate.
+  */
+object Extractor extends Serializable {
+
+  val SummaryLength = 200 // app/config.py:24 DEFAULT_SUMMARY_LENGTH
+  val SummaryStyle = "concise" // app/config.py:25 DEFAULT_SUMMARY_STYLE
+  val Confidence = 100.0
+  val Engine = "transcript"
+
+  def extract(turn: Turn): ExtractionResult = {
+    val raw = if (turn.text == null) "" else turn.text
+    val kind = PayloadKind.fromTool(turn.tool)
+
+    // Step 9 (smartglass_ocr.py:586-600): correction gate len>10.
+    // detect_language is called here in the reference but its result is
+    // only compared against 'ind' (never returned) — dead branch.
+    val corrected =
+      if (Py.len(raw) > 10) TextCorrections.postProcessText(raw, kind)
+      else raw
+
+    // Step 10 (:602-604): format (no positional layout info for text payloads).
+    val formatted = Formatters.formatText(corrected)
+
+    // Step 11 (:606-614)
+    val lang = Language.detectLanguage(formatted)
+    val structured: Option[InfoExtract.OrderedInfo] =
+      if (formatted.nonEmpty) InfoExtract.extractOrdered(formatted, kind) else None
+
+    // Status (:620-625)
+    val status =
+      if (Confidence < 30 || Py.len(Py.strip(formatted)) < 5) "poor_quality"
+      else if (Confidence < 60) "partial_success"
+      else "success"
+
+    // Enrichment (smartglass_ocr.py:1212-1230)
+    var summary = ""
+    var structure: String = null
+    var insights: Seq[String] = null
+    if ((status == "success" || status == "partial_success") && formatted.nonEmpty) {
+      summary = Summarizer.generateSummary(formatted, SummaryLength, SummaryStyle)
+      structure = Formatters.detectDocumentStructure(formatted)
+      if (Py.len(formatted) > 200)
+        insights = Summarizer.extractKeyInsights(formatted)
+    }
+
+    // Final projection (routes.py:976-981): clean text/summary/insights.
+    val textClean = TextCorrections.cleanResponseText(formatted)
+    val summaryClean = TextCorrections.cleanResponseText(summary)
+    val insightsClean =
+      if (insights == null) null else insights.map(TextCorrections.cleanResponseText)
+
+    val tokens = if (textClean.isEmpty) 0 else textClean.split("\\s+").count(_.nonEmpty)
+
+    ExtractionResult(
+      conv_id = turn.conv_id,
+      turn_idx = turn.turn_idx,
+      role = turn.role,
+      tool = turn.tool,
+      ts = turn.ts,
+      payload_kind = kind,
+      status = status,
+      text = textClean,
+      formatted_text = formatted,
+      confidence = Confidence,
+      detected_language = lang,
+      document_structure = structure,
+      summary = summaryClean,
+      key_insights = insightsClean,
+      structured_kind = structured.map(_.kind).orNull,
+      structured_fields = structured.map(_.fields.toMap).orNull,
+      structured_items = structured.map(_.items).orNull,
+      structured_headers = structured.map(_.headers).orNull,
+      structured_rows = structured.map(_.rows.map(_.toMap)).orNull,
+      confidence_level = confidenceLevel(Confidence),
+      n_chars = Py.len(textClean),
+      n_tokens = tokens)
+  }
+
+  /** information_extraction.py:621-642. */
+  def confidenceLevel(confidence: Double): String =
+    if (confidence >= 90) "Very High"
+    else if (confidence >= 75) "High"
+    else if (confidence >= 60) "Good"
+    else if (confidence >= 40) "Moderate"
+    else if (confidence >= 20) "Low"
+    else "Very Low"
+
+  /** Flat golden-comparable view: structured info flattened to
+    * map<string,string> with items/headers/rows in a deterministic
+    * encoding shared with the golden generator (FIXTURES.md §3). */
+  def flattenStructured(o: InfoExtract.OrderedInfo): Map[String, String] = {
+    if (o == null) return null
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for ((k, v) <- o.fields) m(k) = v
+    if (o.kind == "receipt")
+      m("items") = o.items.map(i => s"${i.name}\u0001${i.quantity}\u0001${i.price}").mkString("\u0002")
+    if (o.kind == "table") {
+      m("headers") = o.headers.mkString("\u0001")
+      m("rows") = o.rows.map(r => r.map { case (k, v) => s"$k\u0003$v" }.mkString("\u0001")).mkString("\u0002")
+    }
+    m.toMap
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{ExtractionResult, Turn}
+
+/** Dataset-level extraction pipeline (SURVEY.md §3.1 Spark re-expression).
+  *
+  * One job, one lineage: scan → salted repartition (hot-conversation skew
+  * control, north_rule) → mapPartitions extract → sortWithinPartitions →
+  * partitioned parquet sink + per-partition lineage rows + metrics.
+  * Resume = left-anti join against committed keys (idempotent writes
+  * keyed by (conv_id, turn_idx)).
+  *
+  * Scale notes (100 TB / 10^12 turns):
+  *  - extraction is embarrassingly parallel per turn: no shuffle is
+  *    strictly required; the single salted repartition exists to break
+  *    up hot conversations and right-size partitions for the sink.
+  *  - column pruning matters: metrics jobs must not read `text` — all
+  *    stats queries select only narrow columns before any wide stage.
+  *  - the mapPartitions boundary breaks whole-stage codegen by design;
+  *    everything before (scan+filter) and after (project+sort+write)
+  *    stays columnar/codegen.
+  */
+object Pipeline {
+
+  /** Salt fan-out for hot conversations: partition key is
+    * (conv_id, hash(turn_idx) % Salt) so a conversation with millions of
+    * turns spreads over Salt partitions instead of one. */
+  val Salt = 16
+
+  final case class Lineage(
+      partition_id: Int, min_key: String, max_key: String, n_rows: Long, t_ms: Long)
+
+  def turnsSchemaDf(spark: SparkSession, path: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Turn]
+  }
+
+  /** Derive a transcript table from the driver-generated `documents`
+    * table (TESTDATA.md): 10 turns per conversation, tool cycling over
+    * the dispatch kinds so every reference branch gets traffic. */
+  def turnsFromDocuments(spark: SparkSession, sfDir: String): Dataset[Turn] = {
+    import spark.implicits._
+    val tools = Array(
+      "plain", "document", "receipt", "id_card", "form", "table",
+      "signage", "scientific", "multi_column", "html", "pdf", "book_page")
+    val toolCol = element_at(
+      typedLit(tools.toSeq), (pmod(col("doc_id"), lit(tools.length)) + 1).cast("int"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        concat(lit("conv-"), lpad((col("doc_id") / 10).cast("long").cast("string"), 8, "0"))
+          .as("conv_id"),
+        pmod(col("doc_id"), lit(10)).cast("int").as("turn_idx"),
+        element_at(typedLit(Seq("user", "assistant", "tool")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("role"),
+        col("text"),
+        toolCol.as("tool"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000).as("ts"))
+      .as[Turn]
+  }
+
+  /** The core distributed stage. `numPartitions <= 0` keeps the incoming
+    * partitioning (no shuffle — extraction itself never needs one). */
+  def extractTurns(turns: Dataset[Turn], numPartitions: Int = -1): Dataset[ExtractionResult] = {
+    import turns.sparkSession.implicits._
+    val repart =
+      if (numPartitions > 0)
+        turns.repartition(numPartitions, col("conv_id"), pmod(hash(col("turn_idx")), lit(Salt)))
+      else turns
+    repart.mapPartitions(_.map(Extractor.extract))
+  }
+
+  /** Sink with per-partition lineage (SURVEY.md §7.1.7). Results are
+    * written sorted within partitions; the lineage table records
+    * (partition, key-range, row count, wall ms) for audit + skew checks. */
+  def writeResults(results: Dataset[ExtractionResult], outDir: String): Unit = {
+    val spark = results.sparkSession
+    import spark.implicits._
+    val sorted = results.sortWithinPartitions("conv_id", "turn_idx")
+    sorted.write.mode(SaveMode.Overwrite).parquet(s"$outDir/results")
+    val lineage = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val t0 = System.nanoTime()
+      var n = 0L
+      var minK: String = null
+      var maxK: String = null
+      it.foreach { r =>
+        val k = f"${r.conv_id}%s#${r.turn_idx}%09d"
+        if (minK == null || k < minK) minK = k
+        if (maxK == null || k > maxK) maxK = k
+        n += 1
+      }
+      Iterator.single(Lineage(pid, minK, maxK, n, (System.nanoTime() - t0) / 1000000))
+    }
+    lineage.write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage")
+    metrics(results).write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics")
+  }
+
+  /** Corpus-level metrics [STR] — the reference's processing-stats
+    * aggregation (smartglass_ocr.py:1022-1075) as a narrow groupBy;
+    * never touches the fat text column. */
+  def metrics(results: Dataset[ExtractionResult]): DataFrame =
+    results
+      .select("payload_kind", "status", "detected_language", "n_chars", "n_tokens")
+      .groupBy("payload_kind", "status", "detected_language")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_chars"), 2).as("avg_chars"))
+
+  /** Resume from a committed snapshot: anti-join input keys against the
+    * already-written results (north_rule checkpoint semantics). */
+  def resume(spark: SparkSession, turns: Dataset[Turn], outDir: String): Dataset[Turn] = {
+    import spark.implicits._
+    val done =
+      try spark.read.parquet(s"$outDir/results").select("conv_id", "turn_idx")
+      catch { case _: Exception => return turns }
+    turns.join(done, Seq("conv_id", "turn_idx"), "left_anti").as[Turn]
+  }
+}

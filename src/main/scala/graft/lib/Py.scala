@@ -1,0 +1,159 @@
+package graft.lib
+
+import java.util.regex.{Matcher, Pattern}
+
+/** Helpers replicating CPython string/regex semantics on the JVM.
+  *
+  * The extraction contract (see SURVEY.md §1.3, §7.4) is byte-exact
+  * equality with the reference's pure-Python text pipeline
+  * (reference: lib/text_processing.py). Python's `str` operations and
+  * the `re` module differ from `java.lang.String`/`java.util.regex` in
+  * ways that silently break parity; everything in the hot path goes
+  * through these helpers instead.
+  */
+object Py {
+
+  /** Code points Python's `str.isspace()` / `re` `\s` treat as whitespace. */
+  private val WS: Set[Int] = Set(
+    0x09, 0x0a, 0x0b, 0x0c, 0x0d, 0x1c, 0x1d, 0x1e, 0x1f, 0x20, 0x85, 0xa0,
+    0x1680, 0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007,
+    0x2008, 0x2009, 0x200a, 0x2028, 0x2029, 0x202f, 0x205f, 0x3000)
+
+  def isSpaceCp(cp: Int): Boolean = WS.contains(cp)
+
+  /** Python-whitespace character class usable inside Java regex. */
+  val wsClass: String =
+    "\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000"
+
+  /** Python `str.strip()` — strips Python-whitespace from both ends. */
+  def strip(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && isSpaceCp(s.codePointAt(i))) i += Character.charCount(s.codePointAt(i))
+    while (j > i) {
+      val cp = s.codePointBefore(j)
+      if (!isSpaceCp(cp)) return s.substring(i, j)
+      j -= Character.charCount(cp)
+    }
+    s.substring(i, j)
+  }
+
+  def isBlank(s: String): Boolean = strip(s).isEmpty
+
+  /** Python `len(str)` — counts code points, not UTF-16 units. */
+  def len(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Python `s[:n]` — code-point slice. */
+  def sliceTo(s: String, n: Int): String = {
+    if (n <= 0) return ""
+    if (s.codePointCount(0, s.length) <= n) return s
+    s.substring(0, s.offsetByCodePoints(0, n))
+  }
+
+  /** Python `str.split(sep)` — keeps leading/trailing empty fields. */
+  def split(s: String, sep: Char): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == sep) { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toArray
+  }
+
+  def splitLines(s: String): Array[String] = split(s, '\n')
+
+  /** Python `str.lower()` (ROOT locale; full mappings match for the
+    * character repertoire the pipeline handles). */
+  def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** Python `str.zfill(width)` for non-negative digit strings. */
+  def zfill(s: String, width: Int): String =
+    if (s.length >= width) s else ("0" * (width - s.length)) + s
+
+  /** Python `str.isdigit()` per char (used char-wise in reference). */
+  def isDigit(c: Char): Boolean = Character.isDigit(c)
+
+  /** Python `str.isupper()` for a single char. */
+  def isUpper(c: Char): Boolean = Character.isUpperCase(c)
+
+  /** Python `str.isalpha()` for a code point. */
+  def isAlphaCp(cp: Int): Boolean = Character.isLetter(cp)
+
+  /** Python `str.title()` — capitalize each run of cased letters. */
+  def title(s: String): String = {
+    val sb = new StringBuilder
+    var prevCased = false
+    s.foreach { c =>
+      if (Character.isLetter(c)) {
+        sb.append(if (prevCased) Character.toLowerCase(c) else Character.toUpperCase(c))
+        prevCased = true
+      } else { sb.append(c); prevCased = false }
+    }
+    sb.toString
+  }
+
+  // --- regex -----------------------------------------------------------
+
+  /** Translate a Python `re` pattern written with `\s`/`\d`/`\w`/`\b`
+    * into a Java pattern with equivalent Unicode semantics. We compile
+    * with UNICODE_CASE always; UNICODE_CHARACTER_CLASS makes \w \d \b \s
+    * Unicode-aware like Python's str patterns.
+    */
+  def compile(pyPattern: String, flags: Int = 0): Pattern =
+    Pattern.compile(pyPattern, flags | Pattern.UNICODE_CASE | Pattern.UNICODE_CHARACTER_CLASS)
+
+  val I: Int = Pattern.CASE_INSENSITIVE
+  val M: Int = Pattern.MULTILINE
+  val S: Int = Pattern.DOTALL
+
+  /** re.sub(pattern, repl, s) with repl already in Java `$n` form. */
+  def sub(p: Pattern, repl: String, s: String): String = p.matcher(s).replaceAll(repl)
+
+  /** re.sub with a literal (no backrefs) replacement. */
+  def subLit(p: Pattern, repl: String, s: String): String =
+    p.matcher(s).replaceAll(Matcher.quoteReplacement(repl))
+
+  /** re.search → Option[Matcher positioned at first match]. */
+  def search(p: Pattern, s: String): Option[Matcher] = {
+    val m = p.matcher(s)
+    if (m.find()) Some(m) else None
+  }
+
+  /** re.match → Option[Matcher anchored at start (prefix match)]. */
+  def rmatch(p: Pattern, s: String): Option[Matcher] = {
+    val m = p.matcher(s)
+    if (m.lookingAt()) Some(m) else None
+  }
+
+  /** re.findall for a pattern with no groups: list of full matches. */
+  def findall(p: Pattern, s: String): Vector[String] = {
+    val m = p.matcher(s)
+    val out = Vector.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** re.findall match count (non-overlapping, same scan semantics). */
+  def countMatches(p: Pattern, s: String): Int = {
+    val m = p.matcher(s)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  /** re.finditer → materialized (start, end, groups) triples. */
+  final case class Mt(start: Int, end: Int, group: String, groups: Vector[String])
+  def finditer(p: Pattern, s: String): Vector[Mt] = {
+    val m = p.matcher(s)
+    val out = Vector.newBuilder[Mt]
+    while (m.find())
+      out += Mt(m.start, m.end, m.group, (1 to m.groupCount).map(i => m.group(i)).toVector)
+    out.result()
+  }
+
+  /** re.split keeping trailing empties (Python semantics). */
+  def resplit(p: Pattern, s: String): Array[String] = p.split(s, -1)
+}

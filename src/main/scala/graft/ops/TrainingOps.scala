@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Large-scale training-data pipeline operators over the `documents` and
+  * `embeddings` tables. All-declarative (functions._, no UDFs) so
+  * Catalyst prunes/pushes down and whole-stage codegen applies; the
+  * heavy ones are shaped to avoid O(n²) work at scale (LSH banding /
+  * bucketed joins instead of full cross joins).
+  */
+object TrainingOps {
+
+  /** Canonical text normalization shared with every fingerprint:
+    * lower → collapse whitespace → trim. */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Portable 32-bit hash both Spark and DuckDB can compute identically:
+    * first 8 hex digits of md5. */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  // --- deduplication ------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on the normalized text. At scale this is
+    * one shuffle on a 32-char key with map-side partial aggregation. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_doc"))
+      .orderBy("fp")
+
+  /** n-gram Jaccard near-dup via a bottom-k lexicographic shingle
+    * signature (a min-wise sketch using lexicographic order — no hash
+    * function needed, portable to any SQL engine). Docs sharing the
+    * signature are near-dup candidates. */
+  def ngramSignature(docs: DataFrame, k: Int = 5, bottomK: Int = 4): DataFrame = {
+    val n = normText(col("text"))
+    val sh = transform(
+      sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+      i => substring(n, i.cast("int"), lit(k)))
+    docs.select(
+      col("doc_id"),
+      concat_ws("|", slice(array_sort(array_distinct(sh)), 1, bottomK)).as("sig"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash signatures with an explicit affine hash family over the
+    * portable shingle hash: h_i(x) = (a_i * x + b_i) mod P. Banded into
+    * `bands` LSH keys downstream. One pass, no joins. */
+  val MinhashP = 2038074743L
+  val MinhashA = Array(1103515245L, 1103577811L, 998244353L, 776531401L)
+  val MinhashB = Array(12345L, 54321L, 7919L, 104729L)
+
+  def minhashSignatures(docs: DataFrame, k: Int = 5): DataFrame = {
+    val n = normText(col("text"))
+    val sh = transform(
+      sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+      i => substring(n, i.cast("int"), lit(k)))
+    val shInts = transform(array_distinct(sh),
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
+    val mhCols = MinhashA.indices.map { i =>
+      array_min(transform(shInts,
+        x => pmod(x * MinhashA(i) + MinhashB(i), lit(MinhashP)))).as(s"mh$i")
+    }
+    docs.select((col("doc_id") +: mhCols): _*).orderBy("doc_id")
+  }
+
+  /** LSH buckets (2 rows/band over the 4 minhashes): emit only buckets
+    * with >1 doc — the candidate near-dup sets. At 100 TB this is the
+    * scale path: a groupBy on short band keys instead of any pairwise
+    * comparison. */
+  def minhashBuckets(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bands = sigs.select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band"), concat_ws(":", col("mh0"), col("mh1")).as("key")),
+        struct(lit(1).as("band"), concat_ws(":", col("mh2"), col("mh3")).as("key"))
+      )).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    bands.groupBy("band", "key")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("band", "key")
+  }
+
+  /** SimHash (64-bit) over word tokens — Spark-native xxhash64, used for
+    * near-dup banding by hamming distance. No SQL oracle (engine-specific
+    * hash); verified by rows-only check + unit spec. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val words = split(normText(col("text")), " ")
+    val hashes = transform(words, w => xxhash64(w))
+    // For each of 64 bits, sum +1/-1 votes; assemble the sign bits.
+    val bitVotes = sequence(lit(0), lit(63))
+    val sim = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitVotes,
+        (a, bit) =>
+          a + when(call_function("shiftright", h, bit.cast("int")).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)),
+      acc => aggregate(
+        zip_with(acc, bitVotes, (v, bit) =>
+          when(v > 0, call_function("shiftleft", lit(1L), bit.cast("int"))).otherwise(0L)),
+        lit(0L), (s, x) => s.bitwiseOR(x)))
+    docs.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+  }
+
+  // --- similarity search ---------------------------------------------------
+
+  /** Cosine similarity between two array<double> columns — elementwise
+    * sequential accumulation (deterministic order). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (s, v) => s + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Brute-force cosine top-k against the query vector (lowest vec_id).
+    * Baseline for ANN; at scale this is one broadcast of the query +
+    * a single narrow top-k (TakeOrderedAndProject), no shuffle of the
+    * embedding column. */
+  def annBruteForce(embeddings: DataFrame, k: Int = 20): DataFrame = {
+    val qRow = embeddings.orderBy("vec_id").select("vec_id", "embedding").head()
+    val qId = qRow.getLong(0)
+    val q = typedLit(qRow.getSeq[Float](1).map(_.toDouble))
+    embeddings
+      .filter(col("vec_id") =!= qId)
+      .select(col("vec_id"),
+        round(cosine(asDouble(col("embedding")), q), 3).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-style ANN: C deterministic centroids (the first C vectors by
+    * vec_id), assign every vector to its nearest centroid (broadcast,
+    * one pass), then probe only the best nprobe lists for the query.
+    * The scale path: search cost drops from O(N) to O(N * nprobe / C). */
+  def annIvf(embeddings: DataFrame, k: Int = 20, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = embeddings.orderBy("vec_id").limit(nCentroids)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val centArr = typedLit(cents.map(_._2).toSeq)
+    val qVec = typedLit(cents.head._2)
+    // assignment: argmax cosine over the broadcast centroid array (no shuffle)
+    val sims = transform(centArr, c => cosine(asDouble(col("embedding")), c))
+    val withSims = embeddings.select(col("vec_id"), col("embedding"), sims.as("csims"))
+      .withColumn("list_id", expr("array_position(csims, array_max(csims))"))
+    val qSims = cents.map { case (_, c) =>
+      val dot = c.zip(cents.head._2).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(c.map(x => x * x).sum)
+      val nb = math.sqrt(cents.head._2.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val probeLists = qSims.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2 + 1L).toSeq
+    withSims
+      .filter(col("list_id").isin(probeLists: _*))
+      .select(col("vec_id"), round(cosine(asDouble(col("embedding")), qVec), 3).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-dup pairs above a threshold. Demo path is the
+    * O(n²) self-join (fine at sf); the scale path is minhashBuckets-style
+    * blocking first — documented here, not needed for the oracle. */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(asDouble(col("emb_a")), asDouble(col("emb_b"))), 3).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  // --- text analysis --------------------------------------------------------
+
+  /** Language ID over documents via the ported reference detector
+    * (graft.lib.Language) — typed map, JVM-native. */
+  def langId(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, graft.lib.Language.detectLanguage(text)) }
+      .toDF("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  private val qualityStopwords = Seq(
+    "the", "and", "for", "that", "with", "this", "from", "are", "was", "have")
+
+  /** Quality scoring: length / punctuation / stopword-density features —
+    * pure column expressions, fully pushed into codegen. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nTokens = when(length(trim(col("text"))) === 0, 0).otherwise(size(toks))
+    val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val nStop = size(filter(toks, t => lower(t).isInCollection(qualityStopwords)))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      nTokens.cast(LongType).as("n_tokens"),
+      nAlpha.cast(LongType).as("n_alpha"),
+      round(nStop.cast(DoubleType) / greatest(nTokens, lit(1)), 4).as("stopword_ratio"),
+      round(nAlpha.cast(DoubleType) / greatest(length(col("text")), lit(1)), 4).as("alpha_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single symbols). */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val ws = when(length(trim(col("text"))) === 0, 0)
+      .otherwise(size(split(trim(col("text")), "\\s+")))
+    val re = size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    docs.select(col("doc_id"), ws.cast(LongType).as("ws_tokens"), re.cast(LongType).as("re_tokens")).orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: md5 of the canonical normalization. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(normText(col("text"))).as("fp")).orderBy("doc_id")
+
+  // --- multimodal plumbing ----------------------------------------------------
+
+  /** Multimodal column plumbing: payload as opaque binary + typed
+    * metadata, decoded per partition. The decode itself is a STUB
+    * (deterministic fake — media codecs are not in this container); the
+    * Spark-side shape (binary column, metadata struct, partition-batched
+    * decode, feature schema) is real and tested. */
+  def multimodalFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        length(col("text")).as("n_bytes"),
+        col("source").as("origin")).as("meta"))
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB decode: real systems run an image/audio codec here.
+          // Deterministic fake features: byte-sum + length + head bytes.
+          val checksum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+          val head = bytes.take(4).map(b => (b & 0xff).toString).mkString(",")
+          (id, bytes.length, checksum, head)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "byte_sum", "head_bytes")
+      .orderBy("doc_id")
+  }
+
+  // --- misc relational showcases ----------------------------------------------
+
+  /** Sessionize events: new session when gap > 30 min (lag + cumulative
+    * sum of boundary flags — the same conditional-cumsum shape as the
+    * reference's paragraph grouping, SURVEY.md §2.5). */
+  def sessionize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gap = unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w))
+    val newSession = when(gap.isNull.or(gap > 1800), 1).otherwise(0)
+    events
+      .withColumn("session_start", newSession)
+      .withColumn("session_id",
+        sum("session_start").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+}
