@@ -65,6 +65,22 @@ object Extractor extends Serializable {
 
     val tokens = if (textClean.isEmpty) 0 else textClean.split("\\s+").count(_.nonEmpty)
 
+    // Markdown artifact (markdown_formatter.py:15-177) — rendered from the
+    // PRE-clean values, as the reference writes the .md file before the
+    // API response projection (smartglass_ocr.py:1248 vs routes.py:976).
+    val markdown = graft.lib.Markdown.render(
+      filename = s"${turn.conv_id}_${turn.turn_idx}",
+      ts = turn.ts,
+      status = status,
+      formattedText = formatted,
+      confidence = Confidence,
+      detectedLanguage = lang,
+      payloadKind = kind,
+      summaryRaw = summary,
+      insightsRaw = insights,
+      documentStructure = structure,
+      structured = structured)
+
     ExtractionResult(
       conv_id = turn.conv_id,
       turn_idx = turn.turn_idx,
@@ -86,6 +102,7 @@ object Extractor extends Serializable {
       structured_headers = structured.map(_.headers).orNull,
       structured_rows = structured.map(_.rows.map(_.toMap)).orNull,
       confidence_level = confidenceLevel(Confidence),
+      markdown = markdown,
       n_chars = Py.len(textClean),
       n_tokens = tokens)
   }

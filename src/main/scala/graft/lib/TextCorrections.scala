@@ -49,10 +49,11 @@ object TextCorrections {
     sb.toString
   }
 
-  /** Master per-type correction (text_processing.py:77-146). `imageType`
-    * is the ImageType *value* string (already lowercase kinds). */
-  def postProcessText(text: String, imageType: String): String = {
-    if (text == null || text.isEmpty) return ""
+  /** Shared correction head (text_processing.py:88-122) — BMP filter,
+    * quote folding, bullet normalization, digit-context confusions,
+    * spacing fixes — used by both post_process_text and
+    * _apply_general_text_corrections. */
+  private[lib] def postProcessHead(text: String): String = {
     var t = bmpFilter(text)
     // Quote/apostrophe fixes (source uses straight quotes: only the
     // ''→" ,,→" `→' rewrites have effect; text_processing.py:94-97)
@@ -71,6 +72,14 @@ object TextCorrections {
     t = sub(pMultiSpace, " ", t)
     t = sub(pPunctCap, "$1 $2", t)
     t = sub(pMerged, "$1 $2", t)
+    t
+  }
+
+  /** Master per-type correction (text_processing.py:77-146). `imageType`
+    * is the ImageType *value* string (already lowercase kinds). */
+  def postProcessText(text: String, imageType: String): String = {
+    if (text == null || text.isEmpty) return ""
+    var t = postProcessHead(text)
     t = sub(pManyNl, "\n\n", t)
     t = sub(pHyphenNl, "$1$2", t)
     val kind = if (imageType == null) "" else lower(imageType)

@@ -97,5 +97,6 @@ final case class ExtractionResult(
     structured_headers: Seq[String],
     structured_rows: Seq[Map[String, String]],
     confidence_level: String,
+    markdown: String,
     n_chars: Int,
     n_tokens: Int)

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB safety net (SURVEY.md §4.2).
+  * Verifies that Catalyst actually gives us pushdown, pruning,
+  * broadcast, and whole-stage codegen on the headline queries, so a
+  * scale-up doesn't silently degrade to full scans / shuffle joins.
+  */
+class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-quality")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q01: filter is pushed to the parquet scan") {
+    val p = plan("q01_pushdown_agg")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"expected l_shipdate in PushedFilters:\n$p")
+  }
+
+  test("q01: scan reads only the needed columns (pruning)") {
+    val p = plan("q01_pushdown_agg")
+    assert(p.contains("ReadSchema"), p)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"scan should not read unused key columns: $readSchema")
+  }
+
+  test("q03: nation join is a broadcast join") {
+    val p = plan("q03_join_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$p")
+  }
+
+  test("q01: aggregation has a partial (map-side) phase") {
+    val p = plan("q01_pushdown_agg")
+    assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+  }
+
+  test("q01: whole-stage codegen covers the agg pipeline") {
+    val df = SparkEntry.queries("q01_pushdown_agg")(spark, sfDir)
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen"), s"expected WholeStageCodegen spans:\n${p.take(2000)}")
+  }
+
+  test("q13: ANN brute-force is a TakeOrderedAndProject (no global sort)") {
+    val p = plan("q13_ann_brute")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("x02: metrics never reads the fat text column") {
+    val df = SparkEntry.queries("x02_extract_metrics")(spark, sfDir)
+    // The extraction stage necessarily reads text, but the metrics
+    // aggregation above it must operate on the narrow projection only.
+    val agg = df.queryExecution.optimizedPlan.toString()
+    assert(agg.contains("payload_kind"), agg)
+  }
+
+  test("extraction plan has no shuffle when partitioning is inherited") {
+    val turns = Pipeline.turnsFromDocuments(spark, sfDir)
+    val p = Pipeline.extractTurns(turns).toDF().queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"no-repartition path must not shuffle:\n$p")
+  }
+
+  test("extraction plan with salting has exactly one exchange") {
+    val turns = Pipeline.turnsFromDocuments(spark, sfDir)
+    val p = Pipeline.extractTurns(turns, 8).toDF().queryExecution.executedPlan.toString()
+    assert(p.contains("Exchange"), s"salted path should repartition once:\n$p")
+    val n = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(n <= 1, s"expected exactly one Exchange, got $n:\n$p")
+  }
+
+  test("resume anti-join keeps only un-extracted keys") {
+    val ss = spark
+    import ss.implicits._
+    val turns = Pipeline.turnsFromDocuments(spark, sfDir).limit(20)
+    val out = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    Pipeline.writeResults(Pipeline.extractTurns(turns), out)
+    val all = Pipeline.turnsFromDocuments(spark, sfDir).limit(40)
+    val remaining = Pipeline.resume(spark, all, out)
+    val done = spark.read.parquet(s"$out/results").select("conv_id", "turn_idx").as[(String, Int)].collect().toSet
+    val rem = remaining.collect().map(t => (t.conv_id, t.turn_idx)).toSet
+    assert(rem.intersect(done).isEmpty, "resume must exclude committed keys")
+    assert(rem.size == 40 - done.size, s"expected ${40 - done.size} remaining, got ${rem.size}")
+    // lineage rows exist and row counts reconcile
+    val lineageN = spark.read.parquet(s"$out/lineage").selectExpr("sum(n_rows)").head().getLong(0)
+    assert(lineageN == done.size.toLong, s"lineage rows $lineageN != results ${done.size}")
+  }
+
+  test("Spark pipeline output equals the pure-function goldens (engine-level parity)") {
+    val ss = spark
+    import ss.implicits._
+    // run the committed corpus through the DISTRIBUTED path and compare
+    // a sample of turns against Extractor.extract run locally.
+    val corpus = new GoldenParitySpec().corpus
+    val ds = spark.createDataset(corpus)
+    val distributed = Pipeline.extractTurns(ds, 8).collect()
+    val local = corpus.map(Extractor.extract)
+    val dMap = distributed.map(r => ((r.conv_id, r.turn_idx), r)).toMap
+    for (l <- local) {
+      val d = dMap((l.conv_id, l.turn_idx))
+      assert(d.text == l.text && d.summary == l.summary && d.status == l.status,
+        s"distributed != local for ${l.conv_id}/${l.turn_idx}")
+    }
+  }
+}

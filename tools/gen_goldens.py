@@ -65,6 +65,57 @@ TOOL_TO_TYPE = {
 def image_type_for(tool):
     return TOOL_TO_TYPE.get(tool, ImageType.DOCUMENT)
 
+# --- markdown formatter (app/core/markdown_formatter.py) -----------------
+# Imported standalone (json/re/datetime only); the clock is frozen per
+# turn so the artifact is deterministic.
+import importlib.util as _ilu
+import datetime as _dt
+
+_spec = _ilu.spec_from_file_location(
+    "ref_markdown", os.path.join(REF, "app", "core", "markdown_formatter.py"))
+ref_markdown = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(ref_markdown)
+
+class _FrozenDatetime:
+    _now = _dt.datetime(2023, 11, 14, 22, 13, 20)
+    @classmethod
+    def set(cls, ts_ms):
+        cls._now = _dt.datetime.utcfromtimestamp(ts_ms / 1000.0)
+    @classmethod
+    def now(cls):
+        return cls._now
+
+ref_markdown.datetime = _FrozenDatetime
+
+def render_markdown(ts_ms, tool, g_raw):
+    """Assemble the results dict exactly as process_file does right
+    before _save_markdown_file (smartglass_ocr.py:628-653, 1212-1246)
+    and render it with the reference formatter."""
+    it = image_type_for(tool)
+    results = {
+        "status": g_raw["status"],
+        "text": g_raw["formatted"],
+        "confidence": 100.0,
+        "metadata": {
+            "detected_language": g_raw["lang"],
+            "structured_info": g_raw["_structured_live"],
+            "image_type": it.value,
+            "best_engine": "transcript",
+            "processing_time_ms": 0.0,
+        },
+    }
+    if g_raw["structure"] is not None:
+        results["summary"] = g_raw["_summary_raw"]
+        results["document_structure"] = g_raw["structure"]
+        if g_raw["_insights_raw"] is not None:
+            results["key_insights"] = g_raw["_insights_raw"]
+    else:
+        results["summary"] = ""
+    _FrozenDatetime.set(ts_ms)
+    conv, idx = g_raw["conv_id"], g_raw["turn_idx"]
+    return ref_markdown.MarkdownFormatter.format_ocr_results(
+        results, f"{conv}_{idx}")
+
 # --- the live path -------------------------------------------------------
 
 def run_live_path(text, tool):
@@ -95,6 +146,9 @@ def run_live_path(text, tool):
         "insights": [clean_response_text(i) for i in insights] if insights is not None else None,
         "structured": flatten(structured, it),
         "structured_kind": kind_name(it) if structured is not None else None,
+        "_summary_raw": summary,
+        "_insights_raw": insights,
+        "_structured_live": structured,
     }
 
 def kind_name(it):
@@ -491,6 +545,9 @@ def main():
             g = run_live_path(t["text"], t["tool"])
             g["conv_id"] = t["conv_id"]
             g["turn_idx"] = t["turn_idx"]
+            g["markdown"] = render_markdown(t["ts"], t["tool"], g)
+            for k in ("_summary_raw", "_insights_raw", "_structured_live"):
+                del g[k]
             f.write(json.dumps(g, ensure_ascii=False) + "\n")
             n_ok += 1
     cases = build_unit_goldens()
