@@ -131,6 +131,18 @@ object SparkEntry {
           round(sum("value"), 2).as("sum_value"))
         .orderBy("event_type")
     }),
+    "q21_containment_join" -> ((s, dir) => {
+      // theta self-join: substring containment, keep pairs (SURVEY §2.7 —
+      // the reference's keep-longer merge at ocr_engines.py:832-846).
+      // Tiny dimension side → broadcast nested-loop join, no shuffle.
+      val p = s.read.parquet(t(dir, "part")).select(col("p_partkey"), col("p_name"))
+      val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+      a.join(broadcast(b),
+        col("id_a") =!= col("id_b") && col("name_b").contains(col("name_a")))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
     // --- extraction pipeline (line machines: golden-verified, no SQL oracle)
     "x01_extract_full" -> ((s, dir) => {
       Pipeline.extractTurns(Pipeline.turnsFromDocuments(s, dir)).toDF()
@@ -326,7 +338,12 @@ object SparkEntry {
     "q20_event_stats" ->
       """SELECT event_type, count(*) AS n, round(avg(value), 3) AS avg_value,
         | round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_containment_join" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |FROM part a JOIN part b
+        |  ON a.p_partkey <> b.p_partkey AND contains(b.p_name, a.p_name)
+        |ORDER BY id_a, id_b""".stripMargin)
 }
 
 /** Exposed for oracle generation. */

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Extractor
+import graft.model.{ExtractionResult, Turn}
+
+/** Structured Streaming variant of the extraction pipeline
+  * (SURVEY.md §2.10).
+  *
+  * The reference's async task queue + polling (app/api/routes.py:
+  * 1034-1148) maps to a continuous `readStream → extract → writeStream`
+  * with per-batch commits; its rolling processing stats with EMA
+  * success rate (lib/smartglass_ocr.py:1022-1075, `0.7*old + 0.3*new`)
+  * map to a `flatMapGroupsWithState` keyed by payload kind; its
+  * stale-task sweep (routes.py:1198-1217) maps to state TTL via
+  * ProcessingTimeTimeout.
+  */
+object StreamingPipeline {
+
+  /** Same per-turn extraction, streaming-safe (stateless map). */
+  def streamExtract(turns: Dataset[Turn]): Dataset[ExtractionResult] = {
+    import turns.sparkSession.implicits._
+    turns.mapPartitions(_.map(Extractor.extract))
+  }
+
+  /** Event-time windowed metrics with a watermark for late turns —
+    * counts per (window, payload_kind, status). */
+  def windowedMetrics(results: Dataset[ExtractionResult]): DataFrame =
+    results
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("payload_kind"), col("status"))
+      .agg(count(lit(1)).as("n_turns"), sum("n_chars").as("total_chars"))
+
+  /** Rolling per-kind stats with EMA success rate — the reference's
+    * _update_processing_stats re-expressed as keyed streaming state.
+    * success = status == "success"; ema' = 0.7*ema + 0.3*success
+    * (smartglass_ocr.py:1069-1075). */
+  final case class KindStats(
+      payload_kind: String, n_turns: Long, n_success: Long, ema_success: Double)
+
+  def emaStats(
+      results: Dataset[ExtractionResult],
+      stateTtl: Option[String] = None): Dataset[KindStats] = {
+    import results.sparkSession.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    results
+      .select($"payload_kind", ($"status" === "success").as("ok"))
+      .as[(String, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(updateKindStats(stateTtl))
+  }
+
+  private def updateKindStats(stateTtl: Option[String])(
+      kind: String,
+      rows: Iterator[(String, Boolean)],
+      state: GroupState[KindStats]): Iterator[KindStats] = {
+    if (state.hasTimedOut) { // stale-state sweep (routes.py:1198-1217 analog)
+      val last = state.get
+      state.remove()
+      return Iterator.single(last)
+    }
+    var s = state.getOption.getOrElse(KindStats(kind, 0L, 0L, 1.0))
+    rows.foreach { case (_, ok) =>
+      s = KindStats(
+        kind,
+        s.n_turns + 1,
+        s.n_success + (if (ok) 1 else 0),
+        0.7 * s.ema_success + 0.3 * (if (ok) 1.0 else 0.0))
+    }
+    state.update(s)
+    stateTtl.foreach(state.setTimeoutDuration) // stale-state TTL (opt-in)
+    Iterator.single(s)
+  }
+}

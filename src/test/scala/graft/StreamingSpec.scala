@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Turn
+import graft.streaming.StreamingPipeline
+
+/** Streaming pipeline semantics: extraction through a MemoryStream must
+  * match batch extraction exactly; the EMA state must fold across
+  * micro-batches the way the reference's rolling stats fold across
+  * requests. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("streaming-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def turns(n: Int, offset: Int = 0): Seq[Turn] =
+    (0 until n).map { i =>
+      val k = i + offset
+      Turn(f"sconv-$k%04d", k % 5, "user",
+        s"Sentence number $k about data. Another line follows here.\n\nSecond paragraph block $k.",
+        if (k % 3 == 0) "receipt" else "document",
+        new Timestamp(1700000000000L + k * 60000L))
+    }
+
+  test("streaming extraction == batch extraction") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingPipeline.streamExtract(input.toDS())
+      .writeStream.format("memory").queryName("stream_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(turns(20))
+    q.processAllAvailable()
+    input.addData(turns(20, offset = 20))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT conv_id, turn_idx, text, summary, status FROM stream_out")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3), r.getString(4))).toMap
+    val batch = turns(40).map(Extractor.extract)
+    assert(streamed.size == 40)
+    for (b <- batch) {
+      val s = streamed((b.conv_id, b.turn_idx))
+      assert(s == ((b.text, b.summary, b.status)), s"mismatch at ${b.conv_id}/${b.turn_idx}")
+    }
+  }
+
+  test("EMA success-rate state folds across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingPipeline.emaStats(StreamingPipeline.streamExtract(input.toDS()))
+      .writeStream.format("memory").queryName("ema_out")
+      .outputMode(OutputMode.Update).start()
+    input.addData(turns(12))
+    q.processAllAvailable()
+    input.addData(turns(12, offset = 12))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT payload_kind, n_turns, n_success, ema_success FROM ema_out").collect()
+    // last update per kind reflects the full 24 turns
+    val last = rows.groupBy(_.getString(0)).map { case (k, rs) => k -> rs.maxBy(_.getLong(1)) }
+    val expectedCounts = turns(24).groupBy(t => graft.model.PayloadKind.fromTool(t.tool)).map {
+      case (k, ts) => k -> ts.length
+    }
+    for ((kind, n) <- expectedCounts) {
+      assert(last.contains(kind), s"missing kind $kind")
+      assert(last(kind).getLong(1) == n.toLong, s"kind $kind count ${last(kind).getLong(1)} != $n")
+      // replicate the EMA fold: all turns succeed (non-trivial text) → ema → 1
+      val ema = last(kind).getDouble(3)
+      assert(ema > 0.99, s"ema for $kind should converge to 1, got $ema")
+    }
+  }
+}

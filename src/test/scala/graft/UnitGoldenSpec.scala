@@ -67,6 +67,11 @@ class UnitGoldenSpec extends AnyFunSuite {
     case "generate_summary" =>
       val Array(style, ml) = arg.split(":")
       Summarizer.generateSummary(text, ml.toInt, style)
+    case "clean_text_util" => ExtraCorrections.cleanText(text)
+    case "general_corrections" => ExtraCorrections.applyGeneralTextCorrections(text)
+    case "merge_variants" =>
+      val Array(v1, v2) = text.split("@@@")
+      Classify.mergeTextVariants(Seq(v1, v2))
     case other => sys.error(s"unknown string fn $other")
   }
 
@@ -79,6 +84,11 @@ class UnitGoldenSpec extends AnyFunSuite {
       val arg = if (c.get("arg").isNull) null else c.get("arg").asText()
       val text = inputs(key)
       fn match {
+        case "analyze_signage" =>
+          val (ct, desc) = Classify.analyzeSignageContent(text)
+          val want = listOut(c)
+          if (Seq(ct, desc) != want)
+            failures += s"$fn($key): got ($ct, $desc) want $want"
         case "extract_key_insights" =>
           val got = Summarizer.extractKeyInsights(text)
           val want = listOut(c)

@@ -454,6 +454,23 @@ def extract_fix_indonesian():
 
 fix_indonesian = extract_fix_indonesian()
 
+def _extract_fn(path, name, self_arg=True):
+    """Lift a single function/method from a reference module via ast
+    (the owning modules import cv2/flask/numpy)."""
+    src2 = open(os.path.join(REF, path)).read()
+    fn2 = next(n for n in ast.walk(ast.parse(src2))
+               if isinstance(n, ast.FunctionDef) and n.name == name)
+    import typing
+    ns2 = {"re": re, "List": typing.List, "Dict": typing.Dict,
+           "Tuple": typing.Tuple, "Optional": typing.Optional}
+    exec(compile(ast.Module(body=[fn2], type_ignores=[]), "<ref>", "exec"), ns2)
+    f = ns2[name]
+    return (lambda *a: f(None, *a)) if self_arg else f
+
+analyze_signage = _extract_fn("app/core/ocr_processor.py", "_analyze_signage_content")
+merge_ocr_results = _extract_fn("lib/ocr_engines.py", "_merge_ocr_results")
+ref_clean_text = _extract_fn("lib/utils.py", "clean_text", self_arg=False)
+
 UNIT_INPUTS = {
     "noisy": ("He11o wor1d  the  price is 12.34USD and 5O0 items,see "
               "sectionB.Also l1ne-\nbreaks join.  ''quotes''  ,,too,, `x`\n\n\n\nEnd \U0001F600."),
@@ -520,6 +537,24 @@ def build_unit_goldens():
         tp.extract_key_insights(UNIT_INPUTS["marker_text"]))
     add("extract_key_insights", "long_text",
         tp.extract_key_insights(UNIT_INPUTS["long_text"]))
+
+    # dead-in-live-path but exported surface (SURVEY §2.4, §2.3, §2.6/2.7)
+    for key in ("noisy", "long_text", "receipt_raw", "form_raw"):
+        add("clean_text_util", key, ref_clean_text(UNIT_INPUTS[key]))
+        add("general_corrections", key,
+            proc._apply_general_text_corrections(UNIT_INPUTS[key]))
+    UNIT_INPUTS["signage_promo"] = "DISKON BESAR\nTOKO ELEKTRONIK\nBUY NOW"
+    UNIT_INPUTS["signage_warning"] = "AWAS BAHAYA\nDILARANG MASUK"
+    UNIT_INPUTS["signage_general"] = "WELCOME HOME\nOPEN DAILY 9-5"
+    UNIT_INPUTS["signage_food"] = "PROMO SPECIAL\nPIZZA AND BURGER MENU"
+    for key in ("signage_promo", "signage_warning", "signage_general", "signage_food"):
+        ct, desc = analyze_signage(UNIT_INPUTS[key])
+        add("analyze_signage", key, [ct, desc])
+    UNIT_INPUTS["merge_variants"] = ("HELLO WORLD\nSECOND LINE HERE\nthird\n"
+                                     "@@@HELLO WORLD\nHELLO\nSECOND LINE HERE EXTENDED\nfourth line")
+    v1, v2 = UNIT_INPUTS["merge_variants"].split("@@@")
+    add("merge_variants", "merge_variants",
+        merge_ocr_results([{"text": v1}, {"text": v2}]))
 
     for k in ("table_pipes", "table_tabs", "table_spaces"):
         info = ie.extract_structured_info(UNIT_INPUTS[k], ImageType.TABLE)
