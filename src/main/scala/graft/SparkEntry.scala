@@ -66,7 +66,7 @@ object SparkEntry {
         .orderBy("user_id", "event_type")
     }),
     "q05_word_freq" -> ((s, dir) => {
-      val stop = Summarizer.simpleStopwordsPublic.toSeq
+      val stop = OracleSupport.simpleStopwordsPublic.toSeq
       s.read.parquet(t(dir, "documents"))
         .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
         .filter(col("word") =!= "" && !col("word").isInCollection(stop))
@@ -231,7 +231,7 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q05_word_freq" -> {
-      val stop = graft.Summarizer.simpleStopwordsPublic.toVector.sorted
+      val stop = OracleSupport.simpleStopwordsPublic.toVector.sorted
         .map(w => s"'$w'").mkString(", ")
       s"""SELECT word, count(*) AS n FROM (
          | SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word FROM documents)
@@ -347,7 +347,7 @@ object SparkEntry {
 }
 
 /** Exposed for oracle generation. */
-object Summarizer {
+object OracleSupport {
   val simpleStopwordsPublic: Set[String] = Set(
     "a", "an", "the", "and", "or", "but", "if", "because", "as", "what",
     "when", "where", "how", "which", "who", "whom", "this", "that", "these",

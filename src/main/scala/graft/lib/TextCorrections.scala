@@ -30,6 +30,29 @@ object TextCorrections {
   private val pLetDig = compile("(?<=[a-zA-Z])(?=\\d)")
   private val pDigLet = compile("(?<=\\d)(?=[a-zA-Z])")
   private val pMultiSpace = compile(" +")
+  private val pDigConf = compile("(?<=\\d)[lIOSZB](?=\\d)")
+  private val pSpacingBoundary =
+    compile("(?<=[a-z])(?=[A-Z])|(?<=[a-zA-Z])(?=\\d)|(?<=\\d)(?=[a-zA-Z])")
+
+  private def fixDigitConfusions(s: String): String = {
+    val m = pDigConf.matcher(s)
+    if (!m.find()) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var last = 0
+    do {
+      sb.append(s, last, m.start)
+      sb.append(s.charAt(m.start) match {
+        case 'l' | 'I' => '1'
+        case 'O' => '0'
+        case 'S' => '5'
+        case 'Z' => '2'
+        case 'B' => '8'
+      })
+      last = m.end
+    } while (m.find())
+    sb.append(s, last, s.length)
+    sb.toString
+  }
   private val pPunctCap = compile("([.!?,:;])([A-Z0-9])")
   private val pMerged = compile("([a-z])([A-Z])")
   private val pManyNl = compile("\\n{3,}")
@@ -60,15 +83,15 @@ object TextCorrections {
     t = t.replace("''", "\"").replace(",,", "\"")
     t = t.replace("`", "'")
     t = subLit(pBullet, "\u2022 ", t)
-    t = sub(pDigL, "1", t)
-    t = sub(pDigI, "1", t)
-    t = sub(pDigO, "0", t)
-    t = sub(pDigS, "5", t)
-    t = sub(pDigZ, "2", t)
-    t = sub(pDigB, "8", t)
-    t = sub(pLowUp, " ", t)
-    t = sub(pLetDig, " ", t)
-    t = sub(pDigLet, " ", t)
+    // Fused digit-context confusion pass: equivalent to the reference's
+    // six sequential re.sub calls (text_processing.py:103-108) — the
+    // lookarounds require digits on BOTH sides, so adjacent confusable
+    // letters never match in either form and the passes are independent.
+    t = fixDigitConfusions(t)
+    // Fused spacing pass ≡ the three zero-width inserts at :111-113 —
+    // a boundary can satisfy at most one alternative, and inserting a
+    // space never creates/destroys a boundary another pass would see.
+    t = sub(pSpacingBoundary, " ", t)
     t = sub(pMultiSpace, " ", t)
     t = sub(pPunctCap, "$1 $2", t)
     t = sub(pMerged, "$1 $2", t)
