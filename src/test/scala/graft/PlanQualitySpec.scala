@@ -108,6 +108,23 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lineageN == done.size.toLong, s"lineage rows $lineageN != results ${done.size}")
   }
 
+  test("salting spreads a hot conversation across partitions") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus has one deliberately hot conversation (100 turns; FIXTURES §2)
+    val corpus = new GoldenParitySpec().corpus
+    val hot = corpus.groupBy(_.conv_id).maxBy(_._2.size)._1
+    val ds = spark.createDataset(corpus)
+      .repartition(8, col("conv_id"), pmod(hash(col("turn_idx")), lit(Pipeline.Salt)))
+    val partsForHot = ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.map(t => (pid, t.conv_id))
+    }.filter(_._2 == hot).map(_._1).distinct().collect()
+    assert(partsForHot.length >= 4,
+      s"hot conversation $hot should spread over >=4 of 8 partitions, got ${partsForHot.length}")
+  }
+
   test("Spark pipeline output equals the pure-function goldens (engine-level parity)") {
     val ss = spark
     import ss.implicits._

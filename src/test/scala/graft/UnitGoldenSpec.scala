@@ -67,6 +67,12 @@ class UnitGoldenSpec extends AnyFunSuite {
     case "generate_summary" =>
       val Array(style, ml) = arg.split(":")
       Summarizer.generateSummary(text, ml.toInt, style)
+    case "organize_doc" => Organizers.organizeDocumentText(text)
+    case "organize_form" => Organizers.organizeFormText(text)
+    case "organize_receipt" => Organizers.organizeReceiptText(text)
+    case "organize_idcard" => Organizers.organizeIdCardText(text)
+    case "organize_table" | "organize_table2" => Organizers.organizeTableText(text)
+    case "organize_default" => Organizers.defaultTextOrganization(text)
     case "clean_text_util" => ExtraCorrections.cleanText(text)
     case "general_corrections" => ExtraCorrections.applyGeneralTextCorrections(text)
     case "merge_variants" =>

@@ -556,6 +556,31 @@ def build_unit_goldens():
     add("merge_variants", "merge_variants",
         merge_ocr_results([{"text": v1}, {"text": v2}]))
 
+    # the _organize_* family (dead in live path, exported surface)
+    UNIT_INPUTS["organize_doc"] = (
+        "INTRODUCTION\nThis is a long paragraph line that keeps going on. "
+        "It ends here.\nNext sentence starts Capital after punctuation.\n"
+        "- bullet item\n1. numbered\nShort heading\n\nSecond para text here "
+        "that is long enough to be a real paragraph line indeed.")
+    UNIT_INPUTS["organize_receipt"] = (
+        "STORE NAME\n123 Main Street\nDESCRIPTION\nWidget 2 4.00\nGizmo 1 2.00\n"
+        "SUBTOTAL 6.00\nTAX 0.48\nTOTAL 6.48\nTHANK YOU COME AGAIN")
+    UNIT_INPUTS["organize_idcard"] = (
+        "NAME John Smith\nID NUMBER: A123456\nADDRESS 12 Elm St\n"
+        "SEX M\nHEIGHT 180\nthe SIGNATURE below\nNATIONALITY: USA")
+    for key, fam in (("organize_doc", "doc"), ("form_raw", "form"),
+                     ("organize_receipt", "receipt"), ("organize_idcard", "idcard"),
+                     ("table_pipes", "table"), ("table_spaces", "table2"),
+                     ("organize_doc", "default")):
+        fn = {"doc": proc._organize_document_text,
+              "form": proc._organize_form_text,
+              "receipt": proc._organize_receipt_text,
+              "idcard": proc._organize_id_card_text,
+              "table": proc._organize_table_text,
+              "table2": proc._organize_table_text,
+              "default": proc._default_text_organization}[fam]
+        add(f"organize_{fam}", key, fn(UNIT_INPUTS[key]))
+
     for k in ("table_pipes", "table_tabs", "table_spaces"):
         info = ie.extract_structured_info(UNIT_INPUTS[k], ImageType.TABLE)
         add("extract_table_info", k, flatten(info, ImageType.TABLE))
