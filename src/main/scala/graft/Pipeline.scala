@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.model.{ExtractionResult, Turn}
+import graft.model.{ExtractionResult, Lineage, Turn}
 
 /** Dataset-level extraction pipeline (SURVEY.md §3.1 Spark re-expression).
   *
@@ -28,9 +28,6 @@ object Pipeline {
     * (conv_id, hash(turn_idx) % Salt) so a conversation with millions of
     * turns spreads over Salt partitions instead of one. */
   val Salt = 16
-
-  final case class Lineage(
-      partition_id: Int, min_key: String, max_key: String, n_rows: Long, t_ms: Long)
 
   def turnsSchemaDf(spark: SparkSession, path: String): Dataset[Turn] = {
     import spark.implicits._
@@ -71,30 +68,54 @@ object Pipeline {
     repart.mapPartitions(_.map(Extractor.extract))
   }
 
-  /** Sink with per-partition lineage (SURVEY.md §7.1.7). Results are
-    * written sorted within partitions; the lineage table records
-    * (partition, key-range, row count, wall ms) for audit + skew checks. */
-  def writeResults(results: Dataset[ExtractionResult], outDir: String): Unit = {
+  /** Sink with per-partition lineage (SURVEY.md §7.1.7). ONE pass:
+    * lineage stats (partition id, key range, row count, wall ms) are
+    * gathered by a task-completion listener into an accumulator while
+    * the same iterators stream into the parquet writer — the expensive
+    * extraction runs exactly once. (Speculative task retries may add
+    * duplicate lineage rows; lineage is a diagnostic table, results
+    * stay exactly-once via the file committer.) */
+  def writeResults(results: Dataset[ExtractionResult], outDir: String): Unit =
+    writeWithLineage(results, outDir, overwrite = true)
+
+  /** Resume-append variant: adds only the new results/lineage files
+    * (idempotent keyed by (conv_id, turn_idx) — the resume anti-join
+    * guarantees no key is written twice); metrics are recomputed over
+    * the full committed table. */
+  def appendResults(results: Dataset[ExtractionResult], outDir: String): Unit =
+    writeWithLineage(results, outDir, overwrite = false)
+
+  private def writeWithLineage(
+      results: Dataset[ExtractionResult], outDir: String, overwrite: Boolean): Unit = {
     val spark = results.sparkSession
     import spark.implicits._
+    val mode = if (overwrite) SaveMode.Overwrite else SaveMode.Append
+    val acc = spark.sparkContext.collectionAccumulator[Lineage]("graft.lineage")
     val sorted = results.sortWithinPartitions("conv_id", "turn_idx")
-    sorted.write.mode(SaveMode.Overwrite).parquet(s"$outDir/results")
-    val lineage = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    val tracked = sorted.mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val t0 = System.nanoTime()
       var n = 0L
       var minK: String = null
       var maxK: String = null
-      it.foreach { r =>
+      tc.addTaskCompletionListener[Unit] { _ =>
+        acc.add(Lineage(pid, minK, maxK, n, (System.nanoTime() - t0) / 1000000))
+      }
+      it.map { r =>
         val k = f"${r.conv_id}%s#${r.turn_idx}%09d"
         if (minK == null || k < minK) minK = k
         if (maxK == null || k > maxK) maxK = k
         n += 1
+        r
       }
-      Iterator.single(Lineage(pid, minK, maxK, n, (System.nanoTime() - t0) / 1000000))
     }
-    lineage.write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage")
-    metrics(results).write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics")
+    tracked.write.mode(mode).parquet(s"$outDir/results")
+    val lineageRows: Seq[Lineage] =
+      scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq
+    spark.createDataset(lineageRows).write.mode(mode).parquet(s"$outDir/lineage")
+    metrics(spark.read.parquet(s"$outDir/results").as[ExtractionResult])
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics")
   }
 
   /** Corpus-level metrics [STR] — the reference's processing-stats

@@ -100,3 +100,7 @@ final case class ExtractionResult(
     markdown: String,
     n_chars: Int,
     n_tokens: Int)
+
+/** Per-partition audit row written by the sink (SURVEY.md §7.1.7). */
+final case class Lineage(
+    partition_id: Int, min_key: String, max_key: String, n_rows: Long, t_ms: Long)
