@@ -155,6 +155,8 @@ object SparkEntry {
         .orderBy("payload_kind", "status", "detected_language")),
     "x03_simhash" -> ((s, dir) =>
       TrainingOps.simhash(s.read.parquet(t(dir, "documents")))),
+    "x06_simhash_pairs" -> ((s, dir) =>
+      TrainingOps.simhashNearDupPairs(s.read.parquet(t(dir, "documents")))),
     "x04_ann_ivf" -> ((s, dir) =>
       TrainingOps.annIvf(s.read.parquet(t(dir, "embeddings")))),
     "x05_multimodal" -> ((s, dir) =>

@@ -108,6 +108,33 @@ object TrainingOps {
     docs.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
   }
 
+  /** SimHash near-dup pairs via 16-bit band blocking: a pair within
+    * hamming distance k must agree on at least one of 4 bands
+    * (pigeonhole, k<=3 guaranteed; wider k still high recall), so the
+    * candidate join is an equi-join on (band_idx, band_value) — never a
+    * cross join. Final filter = bit_count(xor) <= maxHamming. */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val sigs = simhash(docs)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("band"),
+          call_function("shiftright", col("simhash"), lit(i * 16))
+            .bitwiseAND(0xffffL).as("bval"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bval").as("bval"))
+    val a = bands.select(col("band"), col("bval"),
+      col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val b = bands.select(col("band"), col("bval"),
+      col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
   // --- similarity search ---------------------------------------------------
 
   /** Cosine similarity between two array<double> columns — elementwise
