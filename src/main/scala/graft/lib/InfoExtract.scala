@@ -248,10 +248,11 @@ object InfoExtract {
     val rows = Vector.newBuilder[Vector[(String, String)]]
     for (i <- dataStart until nonEmpty.length if !isSeparatorRow(nonEmpty(i))) {
       val values = split(nonEmpty(i), delimiter).map(strip)
-      val row = Vector.newBuilder[(String, String)]
-      for (j <- values.indices if j < headers.length) row += ((headers(j), values(j)))
-      val r = row.result()
-      if (r.nonEmpty) rows += r
+      // dict semantics: duplicate headers overwrite in place (first
+      // position, last value) — information_extraction.py:409-412
+      val row = LinkedHashMap.empty[String, String]
+      for (j <- values.indices if j < headers.length) row(headers(j)) = values(j)
+      if (row.nonEmpty) rows += row.toVector
     }
     OrderedInfo("table", Vector.empty, Vector.empty, headers, rows.result())
   }
@@ -308,10 +309,9 @@ object InfoExtract {
         else values += ""
       }
       val vs = values.result()
-      val rowData = Vector.newBuilder[(String, String)]
-      for (j <- vs.indices if j < hs.length) rowData += ((hs(j), vs(j)))
-      val r = rowData.result()
-      if (r.nonEmpty) rows += r
+      val rowData = LinkedHashMap.empty[String, String]
+      for (j <- vs.indices if j < hs.length) rowData(hs(j)) = vs(j)
+      if (rowData.nonEmpty) rows += rowData.toVector
     }
     OrderedInfo("table", Vector.empty, Vector.empty, hs, rows.result())
   }

@@ -97,13 +97,61 @@ object Py {
 
   // --- regex -----------------------------------------------------------
 
-  /** Translate a Python `re` pattern written with `\s`/`\d`/`\w`/`\b`
-    * into a Java pattern with equivalent Unicode semantics. We compile
-    * with UNICODE_CASE always; UNICODE_CHARACTER_CLASS makes \w \d \b \s
-    * Unicode-aware like Python's str patterns.
+  /** Python word-char class: `str.isalnum()` ∪ {_} = letters + all
+    * numeric categories + underscore. CRITICALLY this EXCLUDES combining
+    * marks (Mn/Mc/Me), which Java's UNICODE_CHARACTER_CLASS `\w`
+    * includes — the fuzz goldens caught decomposed accents surviving the
+    * format_text whitelist on the JVM but not in CPython. */
+  private val wordClass = "\\p{L}\\p{N}_"
+
+  /** Translate a Python `re` pattern into a Java pattern with CPython
+    * semantics for `\w \W \s \S \d \b`: explicit character classes
+    * instead of Java's (?U) definitions, and `\b` as lookarounds over
+    * the Python word class. Handles escapes, character classes, and
+    * `\Q...\E` quoted runs (from Pattern.quote).
     */
+  def translate(py: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < py.length) {
+      val c = py.charAt(i)
+      if (c == '\\' && i + 1 < py.length) {
+        val e = py.charAt(i + 1)
+        e match {
+          case 'Q' =>
+            val end = py.indexOf("\\E", i + 2)
+            val stop = if (end < 0) py.length else end + 2
+            sb.append(py.substring(i, stop)); i = stop - 2
+          case 'w' => sb.append(if (inClass) wordClass else s"[$wordClass]")
+          case 'W' =>
+            require(!inClass, s"\\W inside class unsupported: $py")
+            sb.append(s"[^$wordClass]")
+          case 's' => sb.append(if (inClass) wsClass else s"[$wsClass]")
+          case 'S' =>
+            require(!inClass, s"\\S inside class unsupported: $py")
+            sb.append(s"[^$wsClass]")
+          case 'd' => sb.append(if (inClass) "\\p{Nd}" else "[\\p{Nd}]")
+          case 'D' =>
+            require(!inClass, s"\\D inside class unsupported: $py")
+            sb.append("[^\\p{Nd}]")
+          case 'b' if !inClass =>
+            sb.append(s"(?:(?<=[$wordClass])(?![$wordClass])|(?<![$wordClass])(?=[$wordClass]))")
+          case _ => sb.append(c).append(e)
+        }
+        i += 2
+      } else {
+        if (c == '[' && !inClass) inClass = true
+        else if (c == ']' && inClass) inClass = false
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   def compile(pyPattern: String, flags: Int = 0): Pattern =
-    Pattern.compile(pyPattern, flags | Pattern.UNICODE_CASE | Pattern.UNICODE_CHARACTER_CLASS)
+    Pattern.compile(translate(pyPattern), flags | Pattern.UNICODE_CASE)
 
   val I: Int = Pattern.CASE_INSENSITIVE
   val M: Int = Pattern.MULTILINE

@@ -368,6 +368,35 @@ def make_lang_nonlatin(i):
     return ("Это пример текста на русском языке для проверки работы "
             "определения языка в системе обработки документов сегодня.")
 
+FUZZ_ATOMS = [
+    "word", "Data", "VALUE", "the", "dan", "yang", "12.50", "1O0", "5l5",
+    "TOTAL", "NIK", "3201 0101", "1/2/95", "First Name", "[x]", "[ ]",
+    "E = mc^2", "sqrt", "•", "‣", "▪", "|", "||", ":", "::", "$", "\\",
+    "`tick`", "''", ",,", "“curly”", "‘single’", "—dash—", "…", "№",
+    " ", " ", "​", "", "\f", "\r", "\t",
+    "é", "ñ", "ß", "Ω", "中文字", "русский", "😀", "🎉", "𝔸𝕭",
+    "á", "ë", "ITEM", "SUBTOTAI", "CASI-I", "Narna",
+    "NAME", "ADDRESS", "Email", "Phone", "-", "--", "-----", "=====",
+    "1.", "2)", "a)", "(note)", "right?", "wow!", "end.", ";", "!?",
+]
+
+def make_fuzz(i):
+    r = random.Random(1000 + i)
+    n = r.randint(5, 120)
+    parts = []
+    for _ in range(n):
+        roll = r.random()
+        if roll < 0.65:
+            parts.append(r.choice(FUZZ_ATOMS))
+            parts.append(" ")
+        elif roll < 0.80:
+            parts.append(r.choice(FUZZ_ATOMS))
+        elif roll < 0.92:
+            parts.append("\n")
+        else:
+            parts.append("\n\n" if r.random() < 0.7 else "\n\n\n\n")
+    return "".join(parts)
+
 FAMILIES = [
     ("plain", "plain", make_plain, 30),
     ("document", "document", make_document, 60),
@@ -389,6 +418,12 @@ FAMILIES = [
     ("summary_long", "document", make_summary_long, 25),
     ("insights", "document", make_insights, 25),
     ("html", "html", make_document, 15),
+    ("fuzz_doc", "document", make_fuzz, 40),
+    ("fuzz_receipt", "receipt", make_fuzz, 25),
+    ("fuzz_idcard", "id_card", make_fuzz, 25),
+    ("fuzz_form", "form", make_fuzz, 25),
+    ("fuzz_table", "table", make_fuzz, 25),
+    ("fuzz_signage", "signage", make_fuzz, 15),
     ("pdf", "pdf", make_document, 15),
     ("book", "book_page", make_headers, 10),
 ]
