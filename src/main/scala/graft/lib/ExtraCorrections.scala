@@ -20,10 +20,9 @@ object ExtraCorrections {
   private val pDigL = compile("(?<=\\d)l(?=\\d)")
   private val pDigO = compile("(?<=\\d)O(?=\\d)")
   private val pDigI = compile("(?<=\\d)I(?=\\d)")
-  private val cleanWordFixes: Vector[(Pattern, String)] = Vector(
+  private val cleanWordFixes: Vector[(String, String)] = Vector(
     "tbe" -> "the", "arid" -> "and", "rnay" -> "may",
-    "Iine" -> "line", "tirne" -> "time"
-  ).map { case (e, r) => (compile("\\b" + e + "\\b"), r) }
+    "Iine" -> "line", "tirne" -> "time")
   private val pLowUp = compile("(?<=[a-z])(?=[A-Z])")
   private val pWsRun = compile("\\s+")
   private val pManyNl = compile("\\n{3,}")
@@ -34,7 +33,7 @@ object ExtraCorrections {
     t = sub(pDigL, "1", t)
     t = sub(pDigO, "0", t)
     t = sub(pDigI, "1", t)
-    for ((p, r) <- cleanWordFixes) t = subLit(p, r, t)
+    for ((w, r) <- cleanWordFixes) t = replaceWordLiteral(t, w, r, ignoreCase = false)
     t = sub(pLowUp, " ", t)
     t = sub(pWsRun, " ", t)
     // dead in effect (the \s+ collapse above already ate newlines) but
@@ -45,7 +44,7 @@ object ExtraCorrections {
 
   // --- _apply_general_text_corrections (text_processing.py:601-709) --------
 
-  private val commonErrors: Vector[(Pattern, String)] = Vector(
+  private val commonErrors: Vector[(String, String)] = Vector(
     "tbe" -> "the", "arid" -> "and", "ofthe" -> "of the",
     "forthe" -> "for the", "tothe" -> "to the", "inthe" -> "in the",
     "fromthe" -> "from the", "onthe" -> "on the", "withthe" -> "with the",
@@ -56,7 +55,7 @@ object ExtraCorrections {
     "systern" -> "system", "rnay" -> "may", "Iine" -> "line",
     "tirne" -> "time", "Iist" -> "list", "Iike" -> "like",
     "sirnple" -> "simple", "sarne" -> "same", "frorntbe" -> "from the"
-  ).map { case (e, r) => (compile("\\b" + e + "\\b"), r) }
+  )
   private val pEmail = compile("\\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}\\b")
   private val pUrl = compile("\\b(?:https?://|www\\.)[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}[^\\s]*\\b")
   private val pHyphenNl = compile("(\\w+)-\\n(\\w+)")
@@ -66,7 +65,7 @@ object ExtraCorrections {
     // identical head to post_process_text (quotes, bullets, digit
     // confusions, spacing) — reuse via the same transformations
     var t = TextCorrections.postProcessHead(text)
-    for ((p, r) <- commonErrors) t = subLit(p, r, t)
+    for ((w, r) <- commonErrors) t = replaceWordLiteral(t, w, r, ignoreCase = false)
     t = sub(pManyNl, "\n\n", t)
     t = sub(pHyphenNl, "$1$2", t)
     for (email <- findall(pEmail, t)) {
@@ -125,7 +124,7 @@ object ExtraCorrections {
 
   private def subscriptDigits(p: Pattern, t: String): String = {
     val m = p.matcher(t)
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder
     var last = 0
     while (m.find()) {
       sb.append(t, last, m.start).append(m.group(1))

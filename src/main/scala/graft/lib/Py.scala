@@ -21,9 +21,11 @@ object Py {
 
   def isSpaceCp(cp: Int): Boolean = WS.contains(cp)
 
-  /** Python-whitespace character class usable inside Java regex. */
-  val wsClass: String =
-    "\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000"
+  /** Python-whitespace character class usable inside Java regex.
+    * Python `\s` = Unicode White_Space plus the C0 information
+    * separators \x1C-\x1F; the property form compiles to a fast
+    * predicate instead of a 12-range union. */
+  val wsClass: String = "\\p{IsWhite_Space}\\x1C-\\x1F"
 
   /** Python `str.strip()` — strips Python-whitespace from both ends. */
   def strip(s: String): String = {
@@ -136,7 +138,16 @@ object Py {
             require(!inClass, s"\\D inside class unsupported: $py")
             sb.append("[^\\p{Nd}]")
           case 'b' if !inClass =>
-            sb.append(s"(?:(?<=[$wordClass])(?![$wordClass])|(?<![$wordClass])(?=[$wordClass]))")
+            // Specialize by context where provable: a \b adjacent to an
+            // atom that can only match word chars reduces to a single
+            // lookaround (and keeps Java's literal-prefix scan alive for
+            // \bWORD... patterns, which the generic alternation defeats).
+            if (nextIsWordAtom(py, i + 2))
+              sb.append(s"(?<![$wordClass])")
+            else if (prevIsWordAtom(py, i - 1))
+              sb.append(s"(?![$wordClass])")
+            else
+              sb.append(s"(?:(?<=[$wordClass])(?![$wordClass])|(?<![$wordClass])(?=[$wordClass]))")
           case _ => sb.append(c).append(e)
         }
         i += 2
@@ -150,8 +161,128 @@ object Py {
     sb.toString
   }
 
+  private def isAsciiWord(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+
+  /** Does the atom starting at `j` only ever match word characters?
+    * Conservative: literal ASCII word char, \Q-run starting with one,
+    * \d / \w escapes, or a character class of word-only chars/ranges. */
+  private def nextIsWordAtom(py: String, j: Int): Boolean = {
+    if (j >= py.length) return false
+    val c = py.charAt(j)
+    if (isAsciiWord(c)) return true
+    if (c == '\\' && j + 1 < py.length) {
+      val e = py.charAt(j + 1)
+      if (e == 'd' || e == 'w') return true
+      if (e == 'Q' && j + 2 < py.length) return isAsciiWord(py.charAt(j + 2))
+      return false
+    }
+    if (c == '[') return wordOnlyClass(py, j)
+    if (c == '(') { // skip group openings ( (?: (?i) etc. up to the first atom
+      var k = j + 1
+      if (k < py.length && py.charAt(k) == '?') {
+        k += 1
+        while (k < py.length && "imsx:".indexOf(py.charAt(k)) >= 0 && py.charAt(k) != ':') k += 1
+        if (k < py.length && py.charAt(k) == ':') k += 1
+      }
+      return nextIsWordAtom(py, k)
+    }
+    false
+  }
+
+  /** Does the atom ending at index `j` (inclusive) only match word chars? */
+  private def prevIsWordAtom(py: String, j: Int): Boolean = {
+    if (j < 0) return false
+    val c = py.charAt(j)
+    // quantifier → inspect the atom before it
+    if (c == '+' || c == '*' || c == '?' || c == '}') {
+      if (c == '}') {
+        val open = py.lastIndexOf('{', j)
+        if (open <= 0) return false
+        return prevIsWordAtom(py, open - 1)
+      }
+      return prevIsWordAtom(py, j - 1)
+    }
+    if (c == 'E' && j >= 1 && py.charAt(j - 1) == '\\') {
+      // end of a \Q...\E run — check its last literal char
+      val q = py.lastIndexOf("\\Q", j)
+      if (q < 0 || j - 2 < q + 2) return false
+      return isAsciiWord(py.charAt(j - 2))
+    }
+    if (isAsciiWord(c)) {
+      // make sure it's a literal, not the letter of an escape like \d
+      if (j >= 1 && py.charAt(j - 1) == '\\') {
+        val e = c
+        return e == 'd' || e == 'w' // \d \w match word chars; \n \t etc do not
+      }
+      return true
+    }
+    if (c == ']') {
+      val open = py.lastIndexOf('[', j)
+      if (open < 0) return false
+      return wordOnlyClass(py, open)
+    }
+    false
+  }
+
+  /** True if the class starting at `[` contains only word-char literals
+    * and ranges (e.g. [a-zA-Z0-9_], [A-Z]). */
+  private def wordOnlyClass(py: String, open: Int): Boolean = {
+    var k = open + 1
+    if (k < py.length && py.charAt(k) == '^') return false
+    var ok = true
+    while (k < py.length && py.charAt(k) != ']') {
+      val c = py.charAt(k)
+      if (c == '\\') { ok = false; k += 2 }
+      else { if (!isAsciiWord(c) && c != '-') ok = false; k += 1 }
+    }
+    ok && k < py.length
+  }
+
   def compile(pyPattern: String, flags: Int = 0): Pattern =
     Pattern.compile(translate(pyPattern), flags | Pattern.UNICODE_CASE)
+
+  /** Python `re.sub(r'\b' + re.escape(word) + r'\b', repl, text)` for a
+    * LITERAL word — hand-rolled indexOf scan with word-boundary checks.
+    * The \b regex form defeats Java's fast literal search; the fix
+    * chains (receipt/ID/Indonesian word dictionaries) are hot.
+    */
+  def replaceWordLiteral(text: String, word: String, repl: String, ignoreCase: Boolean): String = {
+    if (word.isEmpty) return text
+    def isWordCp(cp: Int): Boolean =
+      Character.isLetter(cp) || Character.getType(cp) == Character.DECIMAL_DIGIT_NUMBER ||
+        Character.getType(cp) == Character.LETTER_NUMBER ||
+        Character.getType(cp) == Character.OTHER_NUMBER || cp == '_'
+    // boundary requirement at each end depends on the word's own ends
+    val startWord = isWordCp(word.codePointAt(0))
+    val endWord = isWordCp(word.codePointBefore(word.length))
+    var sb: java.lang.StringBuilder = null
+    var i = 0
+    var last = 0
+    val n = text.length
+    val m = word.length
+    while (i <= n - m) {
+      val hit =
+        if (ignoreCase) text.regionMatches(true, i, word, 0, m)
+        else text.regionMatches(i, word, 0, m)
+      if (hit) {
+        val okLeft =
+          if (!startWord) i > 0 && isWordCp(text.codePointBefore(i)) // \b before non-word char
+          else i == 0 || !isWordCp(text.codePointBefore(i))
+        val okRight =
+          if (!endWord) i + m < n && isWordCp(text.codePointAt(i + m))
+          else i + m >= n || !isWordCp(text.codePointAt(i + m))
+        if (okLeft && okRight) {
+          if (sb == null) sb = new java.lang.StringBuilder(n + 16)
+          sb.append(text, last, i).append(repl)
+          i += m
+          last = i
+        } else i += 1
+      } else i += 1
+    }
+    if (sb == null) text
+    else { sb.append(text, last, n); sb.toString }
+  }
 
   val I: Int = Pattern.CASE_INSENSITIVE
   val M: Int = Pattern.MULTILINE

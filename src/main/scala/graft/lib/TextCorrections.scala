@@ -119,22 +119,21 @@ object TextCorrections {
   private val pPercent = compile("([0-9]+)[,.]([0-9]+)o/?")
   // Effective (first-occurrence, last-value) order of the replacement
   // dict at text_processing.py:165-197.
-  private val receiptWordFixes: Vector[(Pattern, String)] = Vector(
-    "\\bTOTAI\\b" -> "TOTAL", "\\bSUBTOTAI\\b" -> "SUBTOTAL",
-    "\\bCASI-I\\b" -> "CASH", "\\bCHANGI\\b" -> "CHANGE",
-    "\\bDISCOUNI\\b" -> "DISCOUNT", "\\bITEMS\\b" -> "ITEMS",
-    "\\bTAX\\b" -> "TAX", "\\bDUE\\b" -> "DUE", "\\bDATE\\b" -> "DATE",
-    "\\bTIME\\b" -> "TIME", "\\bTHANI< YOU\\b" -> "THANK YOU",
-    "\\bTHANKS\\b" -> "THANKS", "\\bCARD\\b" -> "CARD",
-    "\\bCASHIER\\b" -> "CASHIER", "\\bINVOICE\\b" -> "INVOICE",
-    "\\bNO\\.\\b" -> "NO.", "\\bDESCRIPTION\\b" -> "DESCRIPTION",
-    "\\bQTY\\b" -> "QTY", "\\bPRICE\\b" -> "PRICE",
-    "\\bAMOUNT\\b" -> "AMOUNT", "\\bDISCOUNT\\b" -> "DISCOUNT",
-    "\\bSUBTOTAL\\b" -> "SUBTOTAL", "\\bTOTAL\\b" -> "TOTAL",
-    "\\bPMT\\b" -> "PAYMENT", "\\bVAT\\b" -> "VAT", "\\bCASH\\b" -> "CASH",
-    "\\bDEBIT\\b" -> "DEBIT", "\\bCREDIT\\b" -> "CREDIT",
-    "\\bTHANK YOU\\b" -> "THANK YOU"
-  ).map { case (p, r) => (compile(p), r) }
+  private val receiptWordFixes: Vector[(String, String)] = Vector(
+    "TOTAI" -> "TOTAL", "SUBTOTAI" -> "SUBTOTAL",
+    "CASI-I" -> "CASH", "CHANGI" -> "CHANGE",
+    "DISCOUNI" -> "DISCOUNT", "ITEMS" -> "ITEMS",
+    "TAX" -> "TAX", "DUE" -> "DUE", "DATE" -> "DATE",
+    "TIME" -> "TIME", "THANI< YOU" -> "THANK YOU",
+    "THANKS" -> "THANKS", "CARD" -> "CARD",
+    "CASHIER" -> "CASHIER", "INVOICE" -> "INVOICE",
+    "NO." -> "NO.", "DESCRIPTION" -> "DESCRIPTION",
+    "QTY" -> "QTY", "PRICE" -> "PRICE",
+    "AMOUNT" -> "AMOUNT", "DISCOUNT" -> "DISCOUNT",
+    "SUBTOTAL" -> "SUBTOTAL", "TOTAL" -> "TOTAL",
+    "PMT" -> "PAYMENT", "VAT" -> "VAT", "CASH" -> "CASH",
+    "DEBIT" -> "DEBIT", "CREDIT" -> "CREDIT",
+    "THANK YOU" -> "THANK YOU")
   private val pItemSection = compile("^(ITEM|DESCRIPTION|PRODUCT|GOODS)S?", I)
   private val pItemSectionEnd = compile("^(SUBTOTAL|TOTAL|TAX|DISCOUNT)", I)
   private val pItemLine = compile("^(.+?)(?:\\s+(\\d+))?(?:\\s+(?:x|@)\\s+)?([0-9.,]+)")
@@ -145,7 +144,7 @@ object TextCorrections {
   def fixReceiptText(text0: String): String = {
     var t = sub(pCurrency, "\\$$1.$2$3", text0)
     t = sub(pPercent, "$1.$2%", t)
-    for ((p, r) <- receiptWordFixes) t = subLit(p, r, t)
+    for ((w, r) <- receiptWordFixes) t = replaceWordLiteral(t, w, r, ignoreCase = false)
     val lines = splitLines(t)
     val out = Vector.newBuilder[String]
     var inItems = false
@@ -176,21 +175,20 @@ object TextCorrections {
 
   // --- _fix_id_card_text (text_processing.py:254-321) -------------------
 
-  private val idCardFixes: Vector[(Pattern, String)] = Vector(
-    "\\bNAME\\b" -> "NAMA", "\\bNAMA\\b" -> "NAMA",
-    "\\bADDRESS\\b" -> "ALAMAT", "\\bALAMAT\\b" -> "ALAMAT",
-    "\\bTEMPAT/TGL LAHIR\\b" -> "TEMPAT/TGL LAHIR",
-    "\\bTEMPAT TGL LAHIR\\b" -> "TEMPAT/TGL LAHIR",
-    "\\bJENIS KELAMIN\\b" -> "JENIS KELAMIN",
-    "\\bAGAMA\\b" -> "AGAMA",
-    "\\bSTATUS PERKAWINAN\\b" -> "STATUS PERKAWINAN",
-    "\\bPEKERJAAN\\b" -> "PEKERJAAN",
-    "\\bKEWARGANEGARARAN\\b" -> "KEWARGANEGARAAN",
-    "\\bBERLAKU HINGGA\\b" -> "BERLAKU HINGGA", "\\bNIK\\b" -> "NIK",
-    "\\bDESA/KELURAHAN\\b" -> "DESA/KELURAHAN",
-    "\\bKECAMATAN\\b" -> "KECAMATAN", "\\bKABUPATEN\\b" -> "KABUPATEN",
-    "\\bPROVINSI\\b" -> "PROVINSI"
-  ).map { case (p, r) => (compile(p, I), r) }
+  private val idCardFixes: Vector[(String, String)] = Vector(
+    "NAME" -> "NAMA", "NAMA" -> "NAMA",
+    "ADDRESS" -> "ALAMAT", "ALAMAT" -> "ALAMAT",
+    "TEMPAT/TGL LAHIR" -> "TEMPAT/TGL LAHIR",
+    "TEMPAT TGL LAHIR" -> "TEMPAT/TGL LAHIR",
+    "JENIS KELAMIN" -> "JENIS KELAMIN",
+    "AGAMA" -> "AGAMA",
+    "STATUS PERKAWINAN" -> "STATUS PERKAWINAN",
+    "PEKERJAAN" -> "PEKERJAAN",
+    "KEWARGANEGARARAN" -> "KEWARGANEGARAAN",
+    "BERLAKU HINGGA" -> "BERLAKU HINGGA", "NIK" -> "NIK",
+    "DESA/KELURAHAN" -> "DESA/KELURAHAN",
+    "KECAMATAN" -> "KECAMATAN", "KABUPATEN" -> "KABUPATEN",
+    "PROVINSI" -> "PROVINSI")
   private val idFields = Vector(
     "NAMA", "ALAMAT", "TEMPAT/TGL LAHIR", "JENIS KELAMIN", "AGAMA",
     "STATUS PERKAWINAN", "PEKERJAAN", "KEWARGANEGARAAN", "BERLAKU HINGGA",
@@ -203,7 +201,7 @@ object TextCorrections {
 
   def fixIdCardText(text0: String): String = {
     var t = text0
-    for ((p, r) <- idCardFixes) t = subLit(p, r, t)
+    for ((w, r) <- idCardFixes) t = replaceWordLiteral(t, w, r, ignoreCase = true)
     for (p <- idFieldColon) t = sub(p, "$1: $2", t)
     // NIK 16-digit grouping; note the reference strips only ' ' (not \n)
     // from the captured run and the rewrite's trailing \s+ eats newlines.
@@ -349,7 +347,7 @@ object TextCorrections {
   // 'id' but the dispatch checks == 'ind' (smartglass_ocr.py:592-600);
   // provided for API completeness.
 
-  private val indonesianFixes: Vector[(Pattern, String)] = Vector(
+  private val indonesianFixes: Vector[(String, String)] = Vector(
     "l<epada" -> "kepada", "l<ami" -> "kami", "l<arena" -> "karena",
     "bal1wa" -> "bahwa", "adala11" -> "adalah", "dala1n" -> "dalam",
     "merniliki" -> "memiliki", "rnengenai" -> "mengenai",
@@ -363,7 +361,7 @@ object TextCorrections {
     "Agarna" -> "Agama", "RT/RVV" -> "RT/RW", "RT /RW" -> "RT/RW",
     "PROVINSI" -> "PROVINSI", "KAB\\." -> "KAB.", "KEL\\." -> "KEL.",
     "KEC\\." -> "KEC."
-  ).map { case (e, r) => (compile("\\b" + Pattern.quote(e) + "\\b"), r) }
+  )
   private val pNikInd = compile("(?:NIK|N[l1]K)\\s*:?\\s*([0-9\\s\\.,]+)", I)
   private val pNikIndSub = compile("(?:NIK|N[l1]K)\\s*:?\\s*[0-9\\s\\.,]+", I)
   private val pAddress = compile(
@@ -380,7 +378,7 @@ object TextCorrections {
   def fixIndonesianText(text0: String): String = {
     if (text0 == null || text0.isEmpty) return ""
     var t = text0
-    for ((p, r) <- indonesianFixes) t = subLit(p, r, t)
+    for ((w, r) <- indonesianFixes) t = replaceWordLiteral(t, w, r, ignoreCase = false)
     search(pNikInd, t).foreach { m =>
       val digits = m.group(1).filter(Character.isDigit)
       if (digits.length >= 15 && digits.length <= 17) {

@@ -376,6 +376,7 @@ FUZZ_ATOMS = [
     " ", " ", "​", "", "\f", "\r", "\t",
     "é", "ñ", "ß", "Ω", "中文字", "русский", "😀", "🎉", "𝔸𝕭",
     "á", "ë", "ITEM", "SUBTOTAI", "CASI-I", "Narna",
+    "\x1c", "\x1d", "\x1e", "\x1f", "\x85", "İstanbul", "ǅungla", "ﬁle", "Ⅻ", "½", "𝟏𝟐", "ı", "ＡＢＣ", "１２３", "ᵃᵇ",
     "NAME", "ADDRESS", "Email", "Phone", "-", "--", "-----", "=====",
     "1.", "2)", "a)", "(note)", "right?", "wow!", "end.", ";", "!?",
 ]
