@@ -160,7 +160,36 @@ object SparkEntry {
     "x04_ann_ivf" -> ((s, dir) =>
       TrainingOps.annIvf(s.read.parquet(t(dir, "embeddings")))),
     "x05_multimodal" -> ((s, dir) =>
-      TrainingOps.multimodalFeatures(s, s.read.parquet(t(dir, "documents")))))
+      TrainingOps.multimodalFeatures(s, s.read.parquet(t(dir, "documents")))),
+    // markdown artifact listing (SURVEY §2.1: dir scan → sorted desc)
+    "x07_markdown_listing" -> ((s, dir) => {
+      Pipeline.extractTurns(Pipeline.turnsFromDocuments(s, dir)).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("ts"),
+          length(col("markdown")).as("md_size"))
+        .orderBy(desc("ts"), col("conv_id"), col("turn_idx"))
+        .limit(50)
+    }),
+    // payload classification probes + feature stats (SURVEY §2.3)
+    "x08_payload_stats" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val st = graft.lib.Classify.payloadStats(text)
+          val (ct, _) = graft.lib.Classify.analyzeSignageContent(text)
+          (id, st.n_lines, st.n_chars,
+            math.round(st.avg_line_len * 100) / 100.0,
+            math.round(st.digit_density * 10000) / 10000.0,
+            math.round(st.table_likelihood * 10000) / 10000.0,
+            math.round(st.form_likelihood * 10000) / 10000.0,
+            graft.lib.Classify.idCardProbe(text),
+            graft.lib.Classify.receiptProbe(text), ct)
+        }
+        .toDF("doc_id", "n_lines", "n_chars", "avg_line_len", "digit_density",
+          "table_likelihood", "form_likelihood", "id_card_probe",
+          "receipt_probe", "signage_type")
+        .orderBy("doc_id")
+    }))
 
   // --- DuckDB oracles -------------------------------------------------------
 
