@@ -131,6 +131,28 @@ object SparkEntry {
           round(sum("value"), 2).as("sum_value"))
         .orderBy("event_type")
     }),
+    "q22_label_centroids" -> ((s, dir) => {
+      // per-label embedding centroid (first 4 dims) — the aggregate
+      // shape of embedding post-processing (mean-pool per cluster)
+      val e = s.read.parquet(t(dir, "embeddings"))
+      e.groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(element_at(col("embedding"), 1).cast("double")), 4).as("c1"),
+          round(avg(element_at(col("embedding"), 2).cast("double")), 4).as("c2"),
+          round(avg(element_at(col("embedding"), 3).cast("double")), 4).as("c3"),
+          round(avg(element_at(col("embedding"), 4).cast("double")), 4).as("c4"))
+        .orderBy("label")
+    }),
+    "q23_tumbling_window" -> ((s, dir) => {
+      // event-time tumbling 1h window counts (streaming-shaped agg in batch)
+      s.read.parquet(t(dir, "events"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
     "q21_containment_join" -> ((s, dir) => {
       // theta self-join: substring containment, keep pairs (SURVEY §2.7 —
       // the reference's keep-longer merge at ocr_engines.py:832-846).
@@ -370,6 +392,17 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(avg(value), 3) AS avg_value,
         | round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q22_label_centroids" ->
+      """SELECT label, count(*) AS n,
+        | round(avg(embedding[1]::DOUBLE), 4) AS c1,
+        | round(avg(embedding[2]::DOUBLE), 4) AS c2,
+        | round(avg(embedding[3]::DOUBLE), 4) AS c3,
+        | round(avg(embedding[4]::DOUBLE), 4) AS c4
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_tumbling_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q21_containment_join" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
         |FROM part a JOIN part b
