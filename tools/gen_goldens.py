@@ -425,6 +425,10 @@ FAMILIES = [
     ("fuzz_form", "form", make_fuzz, 25),
     ("fuzz_table", "table", make_fuzz, 25),
     ("fuzz_signage", "signage", make_fuzz, 15),
+    ("fuzz_multicol", "multi_column", make_fuzz, 20),
+    ("fuzz_book", "book_page", make_fuzz, 15),
+    ("fuzz_sci", "scientific", make_fuzz, 15),
+    ("fuzz_short", "plain", lambda i: make_fuzz(i)[: (i % 23)], 40),
     ("pdf", "pdf", make_document, 15),
     ("book", "book_page", make_headers, 10),
 ]
