@@ -153,6 +153,19 @@ object SparkEntry {
           col("n"), col("sum_value"))
         .orderBy("w_start", "event_type")
     }),
+    "q24_winnow_fingerprints" -> ((s, dir) =>
+      TrainingOps.winnowFingerprints(s.read.parquet(t(dir, "documents")))),
+    "q25_cube_metrics" -> ((s, dir) => {
+      // corpus metrics with rollups across the (role, tool) hierarchy
+      Pipeline.turnsFromDocuments(s, dir).toDF()
+        .cube("role", "tool")
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("total_chars"))
+        .select(
+          coalesce(col("role"), lit("ALL")).as("role"),
+          coalesce(col("tool"), lit("ALL")).as("tool"),
+          col("n"), col("total_chars"))
+        .orderBy("role", "tool")
+    }),
     "q21_containment_join" -> ((s, dir) => {
       // theta self-join: substring containment, keep pairs (SURVEY §2.7 —
       // the reference's keep-longer merge at ocr_engines.py:832-846).
@@ -403,6 +416,27 @@ object SparkEntry {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q24_winnow_fingerprints" ->
+      s"""SELECT doc_id,
+         | array_to_string(list_sort(list_distinct(
+         |   [list_min(list_slice(hashes, i+1, i+4))
+         |    FOR i IN range(0, greatest(len(hashes)-4, 0)+1)])), ',') AS winnow_fp
+         |FROM (
+         | SELECT doc_id,
+         |  [CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+         |   FOR g IN [substr(n, i, 8) FOR i IN range(1, greatest(len(n)-7, 1)+1)]] AS hashes
+         | FROM (SELECT doc_id, $normSql AS n FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "q25_cube_metrics" ->
+      """SELECT coalesce(role, 'ALL') AS role, coalesce(tool, 'ALL') AS tool,
+        | count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM (
+        | SELECT ['user','assistant','tool'][1 + doc_id % 3] AS role,
+        |        ['plain','document','receipt','id_card','form','table','signage',
+        |         'scientific','multi_column','html','pdf','book_page'][1 + doc_id % 12] AS tool,
+        |        text
+        | FROM documents)
+        |GROUP BY CUBE(role, tool) ORDER BY 1, 2""".stripMargin,
     "q21_containment_join" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
         |FROM part a JOIN part b

@@ -249,6 +249,26 @@ object TrainingOps {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(normText(col("text"))).as("fp")).orderBy("doc_id")
 
+  /** Winnowing fingerprints (rolling k-gram hashes → per-window minima,
+    * the MOSS document-fingerprint scheme): robust partial-overlap
+    * detection. k-gram hashes use the portable md5-prefix hash; windows
+    * of `w` consecutive k-gram hashes each contribute their minimum;
+    * the distinct sorted minima form the fingerprint set. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val n = normText(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+      i => substring(n, i.cast("int"), lit(k)))
+    val hashes = transform(grams, g => conv(substring(md5(g), 1, 8), 16, 10).cast(LongType))
+    val windowMins = transform(
+      sequence(lit(0), greatest(size(hashes) - w, lit(0))),
+      i => array_min(slice(hashes, i.cast("int") + 1, lit(w))))
+    docs.select(
+      col("doc_id"),
+      concat_ws(",", array_sort(array_distinct(windowMins))).as("winnow_fp"))
+      .orderBy("doc_id")
+  }
+
   // --- multimodal plumbing ----------------------------------------------------
 
   /** Multimodal column plumbing: payload as opaque binary + typed
