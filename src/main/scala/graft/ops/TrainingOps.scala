@@ -259,11 +259,19 @@ object TrainingOps {
     val grams = transform(
       sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
       i => substring(n, i.cast("int"), lit(k)))
-    val hashes = transform(grams, g => conv(substring(md5(g), 1, 8), 16, 10).cast(LongType))
+    // Materialize the gram-hash array as a NAMED column referenced twice
+    // downstream: inlining it into the window lambda would re-evaluate
+    // the whole md5 array per window element (O(n^2) md5 calls —
+    // observed as a multi-minute stall at sf0.01). The double reference
+    // keeps CollapseProject from re-inlining the expensive alias.
+    val withHashes = docs.select(
+      col("doc_id"),
+      transform(grams, g => conv(substring(md5(g), 1, 8), 16, 10).cast(LongType)).as("hashes"))
+    val h = col("hashes")
     val windowMins = transform(
-      sequence(lit(0), greatest(size(hashes) - w, lit(0))),
-      i => array_min(slice(hashes, i.cast("int") + 1, lit(w))))
-    docs.select(
+      sequence(lit(0), greatest(size(h) - w, lit(0))),
+      i => array_min(slice(h, i.cast("int") + 1, lit(w))))
+    withHashes.select(
       col("doc_id"),
       concat_ws(",", array_sort(array_distinct(windowMins))).as("winnow_fp"))
       .orderBy("doc_id")
