@@ -25,13 +25,17 @@ object Formatters {
   private val pFormula = compile("[=+\\-*/^]|sqrt|sin|cos|tan|log")
 
   def detectDocumentStructure(text: String): String = {
-    val bulletCount = countMatches(pBulletLine, text)
-    val numberedCount = countMatches(pNumberedLine, text)
-    val tableRowCount = countMatches(pTableRow, text)
-    val formFieldCount = countMatches(pFormField, text)
-    val headerCount = countMatches(pHeaderLine, text)
-    val paragraphCount = countMatches(pParaBreak, text)
-    val formulaCount = countMatches(pFormula, text)
+    // Counts are pure functions of `text`, so they can be computed
+    // lazily in decision order and hand-fused where the regex is
+    // line-anchored — identical results, fewer full-string scans
+    // (this runs twice per turn on the live path).
+    lazy val bulletCount = countLineStarts(text, c => c == '\u2022' || c == '-' || c == '*' || c == '+')
+    lazy val numberedCount = countNumberedLineStarts(text)
+    lazy val tableRowCount = countMatches(pTableRow, text)
+    lazy val formFieldCount = countMatches(pFormField, text)
+    lazy val headerCount = countMatches(pHeaderLine, text)
+    lazy val paragraphCount = countMatches(pParaBreak, text)
+    lazy val formulaCount = countFormulaHits(text)
 
     val lines = splitLines(text)
     if (lines.length > 10) {
@@ -46,6 +50,60 @@ object Formatters {
     else if (formulaCount > 3) DocStructure.Scientific
     else if (strip(text).length < 100) DocStructure.PlainText
     else DocStructure.Mixed
+  }
+
+  /** count of `(?:^|\n)<c>` matches — one per line starting with c. */
+  private def countLineStarts(text: String, isMark: Char => Boolean): Int = {
+    var n = 0
+    var i = 0
+    while (i < text.length) {
+      if ((i == 0 || text.charAt(i - 1) == '\n') && isMark(text.charAt(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** count of `(?:^|\n)\d+[\.\)]` matches (Python \d = Nd code points). */
+  private def countNumberedLineStarts(text: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < text.length) {
+      if (i == 0 || text.charAt(i - 1) == '\n') {
+        var j = i
+        var digits = 0
+        var cont = true
+        while (j < text.length && cont) {
+          val cp = text.codePointAt(j)
+          if (Character.getType(cp) == Character.DECIMAL_DIGIT_NUMBER) {
+            digits += 1; j += Character.charCount(cp)
+          } else cont = false
+        }
+        if (digits > 0 && j < text.length &&
+            (text.charAt(j) == '.' || text.charAt(j) == ')')) n += 1
+      }
+      i += 1
+    }
+    n
+  }
+
+  /** count of the formula-indicator pattern matches (single operator
+    * chars or sqrt/sin/cos/tan/log) — exact non-overlapping
+    * alternation-order scan. */
+  private def countFormulaHits(text: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '=' || c == '+' || c == '-' || c == '*' || c == '/' || c == '^') {
+        n += 1; i += 1
+      } else if (text.startsWith("sqrt", i)) { n += 1; i += 4 }
+      else if (text.startsWith("sin", i)) { n += 1; i += 3 }
+      else if (text.startsWith("cos", i)) { n += 1; i += 3 }
+      else if (text.startsWith("tan", i)) { n += 1; i += 3 }
+      else if (text.startsWith("log", i)) { n += 1; i += 3 }
+      else i += 1
+    }
+    n
   }
 
   // --- format_text dispatch (text_processing.py:1152-1210) --------------
