@@ -85,18 +85,26 @@ object Bench {
     // single-box saturation curve: 32 threads share one socket's
     // bandwidth, which a real 4N-node cluster would not.
     val lo2 = math.max(lo / 4, 1)
+    // best-of-2 timed trials per level: a shared host has transient
+    // background load; min wall time measures engine capability.
     runExtraction(spark, sfDir, math.max(repl / 8, 1), hi * 2) // JIT warmup
-    val (nHi, tHi) = runExtraction(spark, sfDir, repl, hi * 2)
+    val (nHi, tHiA) = runExtraction(spark, sfDir, repl, hi * 2)
+    val (_, tHiB) = runExtraction(spark, sfDir, repl, hi * 2)
+    val tHi = math.min(tHiA, tHiB)
     spark.stop()
 
     val sparkLo = newSession(lo)
     runExtraction(sparkLo, sfDir, math.max(repl / 8, 1), lo * 2)
-    val (nLo, tLo) = runExtraction(sparkLo, sfDir, repl, lo * 2)
+    val (nLo, tLoA) = runExtraction(sparkLo, sfDir, repl, lo * 2)
+    val (_, tLoB) = runExtraction(sparkLo, sfDir, repl, lo * 2)
+    val tLo = math.min(tLoA, tLoB)
     sparkLo.stop()
 
     val sparkLo2 = newSession(lo2)
     runExtraction(sparkLo2, sfDir, math.max(repl / 8, 1), lo2 * 2)
-    val (nLo2, tLo2) = runExtraction(sparkLo2, sfDir, repl, lo2 * 2)
+    val (nLo2, tLo2A) = runExtraction(sparkLo2, sfDir, repl, lo2 * 2)
+    val (_, tLo2B) = runExtraction(sparkLo2, sfDir, repl, lo2 * 2)
+    val tLo2 = math.min(tLo2A, tLo2B)
     sparkLo2.stop()
 
     val thrHi = nHi / tHi
