@@ -88,6 +88,7 @@ object Extractor extends Serializable {
       tool = turn.tool,
       ts = turn.ts,
       payload_kind = kind,
+      processing_strategy = graft.lib.Classify.processingStrategy(kind),
       status = status,
       text = textClean,
       formatted_text = formatted,

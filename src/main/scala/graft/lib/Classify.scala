@@ -136,6 +136,27 @@ object Classify {
     merged.mkString("\n")
   }
 
+  /** ImageType → ProcessingStrategy dispatch (SURVEY §2.3; reference
+    * lib/image_processing.py:1705-1752, enum lib/model.py:48-63). In
+    * the transcript engine the strategy steers the decode stage's
+    * effort level; kept as a broadcastable pure map. */
+  def processingStrategy(kind: String): String = kind match {
+    case "document" => "document"
+    case "natural" => "natural"
+    case "receipt" => "receipt"
+    case "id_card" => "id_card"
+    case "handwritten" => "handwritten"
+    case "book_page" => "book"
+    case "table" => "table"
+    case "scientific" => "scientific"
+    case "form" => "form"
+    case "newspaper" => "multi_column"
+    case "signage" => "signage"
+    case "low_quality" => "aggressive"
+    case "high_contrast" => "minimal"
+    case _ => "standard"
+  }
+
   /** Text-payload feature stats — the transcript analog of ImageStats
     * (reference lib/model.py:30-45; feature extraction
     * lib/image_processing.py:30-101 mapped to char-class densities and

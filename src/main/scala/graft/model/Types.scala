@@ -83,6 +83,7 @@ final case class ExtractionResult(
     tool: String,
     ts: Timestamp,
     payload_kind: String,
+    processing_strategy: String, // ImageType→strategy map (SURVEY §2.3)
     status: String,
     text: String, // clean_response_text(formatted_text)
     formatted_text: String, // format_text output (the "original_text")
