@@ -318,7 +318,7 @@ object Formatters {
             if (last.endsWith(".") || last.endsWith("!") || last.endsWith("?") ||
                 last.endsWith(":") || last.endsWith(";")) {
               out += current.mkString(" "); current.clear(); current += line
-            } else if (last.split("\\s+").count(_.nonEmpty) < 4) {
+            } else if (pySplitWs(last).length < 4) {
               out += current.mkString(" "); current.clear(); current += line
             } else current += line
           } else current += line

@@ -236,8 +236,13 @@ object Markdown {
       value match {
         case Left(v) => md += s"| $displayKey | $v |"
         case Right(headers: Vector[_]) if s.kind == "table" && key == "headers" =>
-          // simple list → comma-joined
-          md += s"| $displayKey | ${headers.mkString(", ")} |"
+          if (headers.isEmpty)
+            // Python: all(isinstance(item, dict) for item in []) is
+            // vacuously True, so an EMPTY header list renders through
+            // the list-of-dicts branch (markdown_formatter.py:335-338)
+            md += s"| $displayKey | View 0 items\n\n```json\n[]\n```\n\n |"
+          else
+            md += s"| $displayKey | ${headers.mkString(", ")} |"
         case Right(rows) =>
           val rs = rows.asInstanceOf[Vector[Vector[(String, String)]]]
           val json = PyJson.dumpsListOfDicts(rs, 2)

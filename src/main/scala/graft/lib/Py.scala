@@ -67,6 +67,23 @@ object Py {
 
   def splitLines(s: String): Array[String] = split(s, '\n')
 
+  /** Python `str.split()` (no args): split on Python-whitespace runs,
+    * dropping empty fields. Java's `"\\s+"` misses \x1c-\x1f etc. */
+  def pySplitWs(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    var start = -1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isSpaceCp(cp)) {
+        if (start >= 0) { out += s.substring(start, i); start = -1 }
+      } else if (start < 0) start = i
+      i += Character.charCount(cp)
+    }
+    if (start >= 0) out += s.substring(start)
+    out.result()
+  }
+
   /** Python `str.lower()` (ROOT locale; full mappings match for the
     * character repertoire the pipeline handles). */
   def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
@@ -240,7 +257,10 @@ object Py {
   }
 
   def compile(pyPattern: String, flags: Int = 0): Pattern =
-    Pattern.compile(translate(pyPattern), flags | Pattern.UNICODE_CASE)
+    // UNIX_LINES: CPython treats ONLY \n as a line terminator for
+    // . ^ $ — Java otherwise also breaks on \r \u0085 \u2028 \u2029
+    // (the fuzz blast caught '.' refusing to cross a \r).
+    Pattern.compile(translate(pyPattern), flags | Pattern.UNICODE_CASE | Pattern.UNIX_LINES)
 
   /** Python `re.sub(r'\b' + re.escape(word) + r'\b', repl, text)` for a
     * LITERAL word — hand-rolled indexOf scan with word-boundary checks.

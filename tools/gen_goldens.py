@@ -429,6 +429,15 @@ FAMILIES = [
     ("fuzz_book", "book_page", make_fuzz, 15),
     ("fuzz_sci", "scientific", make_fuzz, 15),
     ("fuzz_short", "plain", lambda i: make_fuzz(i)[: (i % 23)], 40),
+    # blast-derived regression pins: seeds that exposed the UNIX_LINES
+    # (\r/\u2028 line-terminator) and empty-headers markdown bugs
+    ("fuzz_blast_doc", "html", lambda i: make_fuzz(50000 + [197, 693, 761, 437][i % 4] + (i // 4) * 13), 40),
+    ("fuzz_blast_tab", "table", lambda i: make_fuzz(50000 + [197, 437, 761][i % 3] + (i // 3) * 7), 30),
+    ("fuzz_blast_rec", "receipt", lambda i: make_fuzz(50000 + 693 + i * 11), 30),
+    # UNIX_LINES line-terminator pins: exact blast seeds whose output
+    # changes if . ^ $ treat \r/\u0085/\u2028 as line breaks
+    ("fuzz_blast_ul_doc", "document", lambda i: make_fuzz(51981 + (i // 1) * 0 + [0, 17, 51][i % 3] * 100), 9),
+    ("fuzz_blast_ul_rec", "receipt", lambda i: make_fuzz([52882, 53650, 54910][i % 3] + (i // 3) * 1700), 30),
     ("pdf", "pdf", make_document, 15),
     ("book", "book_page", make_headers, 10),
 ]
