@@ -121,8 +121,20 @@ object Bench {
         s""""throughput_lo":${f(thrLo2)},"throughput_mid":${f(thrLo)},"throughput_hi":${f(thrHi)},""" +
         s""""efficiency":${f(effScaleOut)},"efficiency_pair":"${lo2}to$lo",""" +
         s""""efficiency_singlebox_${lo}to$hi":${f(effSingleBox)},"n_turns":$nHi}"""
-    println(
+    val json =
       s"""{"metric":"turns-extracted/sec","value":${f(thrHi)},"unit":"turns/sec",""" +
-        s""""queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+        s""""queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
+    println(json)
+    // The metric line above reaches the driver through sbt's logger, which
+    // prefixes it with "[info] " and defeats JSON parsing (round-1 BENCH had
+    // "parsed": null). Also persist the bare line where the driver (and
+    // anyone else) can read it without log scraping.
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    import java.nio.charset.StandardCharsets
+    for (p <- Seq("bench.json", "/root/repo/bench.json").map(Paths.get(_)).distinct) {
+      try Files.write(p, (json + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      catch { case _: java.io.IOException => () } // best-effort secondary sink
+    }
   }
 }

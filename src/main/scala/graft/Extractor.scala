@@ -33,7 +33,7 @@ object Extractor extends Serializable {
       else raw
 
     // Step 10 (:602-604): format (no positional layout info for text payloads).
-    val formatted = Formatters.formatText(corrected)
+    val (formatted, structureOfInput) = Formatters.formatTextWithStructure(corrected)
 
     // Step 11 (:606-614)
     val lang = Language.detectLanguage(formatted)
@@ -52,7 +52,13 @@ object Extractor extends Serializable {
     var insights: Seq[String] = null
     if ((status == "success" || status == "partial_success") && formatted.nonEmpty) {
       summary = Summarizer.generateSummary(formatted, SummaryLength, SummaryStyle)
-      structure = Formatters.detectDocumentStructure(formatted)
+      // The reference re-detects on the FORMATTED text (smartglass_ocr.py
+      // :1223); when formatting was the identity (common for plain short
+      // payloads) the detection from inside formatText is the same value —
+      // reuse it and skip the second full regex scan of the turn.
+      structure =
+        if (formatted == corrected) structureOfInput
+        else Formatters.detectDocumentStructure(formatted)
       if (Py.len(formatted) > 200)
         insights = Summarizer.extractKeyInsights(formatted)
     }
@@ -63,7 +69,9 @@ object Extractor extends Serializable {
     val insightsClean =
       if (insights == null) null else insights.map(TextCorrections.cleanResponseText)
 
-    val tokens = if (textClean.isEmpty) 0 else textClean.split("\\s+").count(_.nonEmpty)
+    // Python-whitespace split for consistency with the engine's string
+    // semantics everywhere else (str.split() == pySplitWs; "" → 0 tokens).
+    val tokens = Py.pySplitWs(textClean).length
 
     // Markdown artifact (markdown_formatter.py:15-177) — rendered from the
     // PRE-clean values, as the reference writes the .md file before the
@@ -104,6 +112,7 @@ object Extractor extends Serializable {
       structured_rows = structured.map(_.rows.map(_.toMap)).orNull,
       confidence_level = confidenceLevel(Confidence),
       markdown = markdown,
+      spans = graft.lib.Spans.lineSpans(formatted),
       n_chars = Py.len(textClean),
       n_tokens = tokens)
   }

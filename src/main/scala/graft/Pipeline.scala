@@ -131,13 +131,35 @@ object Pipeline {
         sum("n_tokens").as("total_tokens"),
         round(avg("n_chars"), 2).as("avg_chars"))
 
+  /** Last-10 rolling per-kind mean — the reference keeps only the last
+    * 10 processing times per image type (smartglass_ocr.py:1035-1040,
+    * "processing_times[engine][-10:]"); here the rolling metric is
+    * avg over rowsBetween(-9, 0) per payload_kind. Wall time per turn is
+    * nondeterministic in a pure engine, so the smoothed quantity is the
+    * deterministic per-turn cost proxy n_chars (the byte budget the
+    * decode/extract stage actually pays for). */
+  def rollingKindStats(results: Dataset[ExtractionResult]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("payload_kind")
+      .orderBy("ts", "conv_id", "turn_idx")
+      .rowsBetween(-9, 0)
+    results
+      .select("payload_kind", "conv_id", "turn_idx", "ts", "n_chars")
+      .withColumn("rolling_avg_chars10", round(avg("n_chars").over(w), 2))
+  }
+
   /** Resume from a committed snapshot: anti-join input keys against the
     * already-written results (north_rule checkpoint semantics). */
   def resume(spark: SparkSession, turns: Dataset[Turn], outDir: String): Dataset[Turn] = {
     import spark.implicits._
-    val done =
-      try spark.read.parquet(s"$outDir/results").select("conv_id", "turn_idx")
-      catch { case _: Exception => return turns }
+    // Only a genuinely-missing results dir means "fresh run": any other
+    // read failure (transient FS error, corrupt footer) must propagate —
+    // silently reprocessing everything would append duplicate keys and
+    // break the idempotent-resume invariant (ADVICE r01).
+    val resultsPath = new org.apache.hadoop.fs.Path(s"$outDir/results")
+    val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(resultsPath)) return turns
+    val done = spark.read.parquet(s"$outDir/results").select("conv_id", "turn_idx")
     turns.join(done, Seq("conv_id", "turn_idx"), "left_anti").as[Turn]
   }
 }

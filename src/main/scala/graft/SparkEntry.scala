@@ -167,14 +167,24 @@ object SparkEntry {
         .orderBy("role", "tool")
     }),
     "q21_containment_join" -> ((s, dir) => {
-      // theta self-join: substring containment, keep pairs (SURVEY §2.7 —
-      // the reference's keep-longer merge at ocr_engines.py:832-846).
-      // Tiny dimension side → broadcast nested-loop join, no shuffle.
+      // substring-containment self-join (SURVEY §2.7 — the reference's
+      // keep-longer merge at ocr_engines.py:832-846), made scale-safe by
+      // prefix-gram equi-blocking: if name_a ⊆ name_b then name_a's first
+      // 4 chars equal SOME 4-gram of name_b, so an equi-join on the gram
+      // is a LOSSLESS candidate filter (p_name min length 7 > 4). The b
+      // side explodes distinct 4-grams (≤ len-3 per row), each candidate
+      // pair meets at most once, and contains() verifies only candidates
+      // — a shuffled equi-join instead of the round-1 broadcast
+      // nested-loop cross (VERDICT r01 #10). Hot grams skew-split by AQE.
       val p = s.read.parquet(t(dir, "part")).select(col("p_partkey"), col("p_name"))
-      val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"))
-      val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"))
-      a.join(broadcast(b),
-        col("id_a") =!= col("id_b") && col("name_b").contains(col("name_a")))
+      val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+        substring(col("p_name"), 1, 4).as("gram"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(length(col("p_name")) - 3, lit(1))),
+          i => col("p_name").substr(i.cast("int"), lit(4))))).as("gram"))
+      a.join(b, Seq("gram"))
+        .filter(col("id_a") =!= col("id_b") && col("name_b").contains(col("name_a")))
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
@@ -196,15 +206,24 @@ object SparkEntry {
       TrainingOps.annIvf(s.read.parquet(t(dir, "embeddings")))),
     "x05_multimodal" -> ((s, dir) =>
       TrainingOps.multimodalFeatures(s, s.read.parquet(t(dir, "documents")))),
-    // markdown artifact listing (SURVEY §2.1: dir scan → sorted desc)
+    // markdown artifact listing (SURVEY §2.1: api/utils.py:45-66 dir scan
+    // → {filename, created, size} sorted desc). The listing operator is
+    // the scan+sort shape; size is the artifact body's char count (the md
+    // render itself is golden-verified; a markdown-length listing remains
+    // available over the written results table via Pipeline).
     "x07_markdown_listing" -> ((s, dir) => {
-      Pipeline.extractTurns(Pipeline.turnsFromDocuments(s, dir)).toDF()
-        .select(col("conv_id"), col("turn_idx"), col("ts"),
-          length(col("markdown")).as("md_size"))
-        .orderBy(desc("ts"), col("conv_id"), col("turn_idx"))
+      Pipeline.turnsFromDocuments(s, dir).toDF()
+        .select(
+          concat(col("conv_id"), lit("_"), col("turn_idx").cast("string"), lit(".md"))
+            .as("filename"),
+          unix_timestamp(col("ts")).as("created"),
+          length(col("text")).cast("long").as("size_chars"))
+        .orderBy(desc("created"), col("filename"))
         .limit(50)
     }),
-    // payload classification probes + feature stats (SURVEY §2.3)
+    // payload classification probes + feature stats (SURVEY §2.3).
+    // Densities/likelihoods ship as rounded integer basis points so the
+    // DuckDB oracle hash-compares robustly (no float formatting drift).
     "x08_payload_stats" -> ((s, dir) => {
       import s.implicits._
       s.read.parquet(t(dir, "documents")).select("doc_id", "text")
@@ -213,17 +232,69 @@ object SparkEntry {
           val st = graft.lib.Classify.payloadStats(text)
           val (ct, _) = graft.lib.Classify.analyzeSignageContent(text)
           (id, st.n_lines, st.n_chars,
-            math.round(st.avg_line_len * 100) / 100.0,
-            math.round(st.digit_density * 10000) / 10000.0,
-            math.round(st.table_likelihood * 10000) / 10000.0,
-            math.round(st.form_likelihood * 10000) / 10000.0,
+            math.round(st.avg_line_len * 100), // centichars
+            math.round(st.digit_density * 10000), // basis points
+            math.round(st.upper_density * 10000),
+            math.round(st.punct_density * 10000),
+            math.round(st.table_likelihood * 10000),
+            math.round(st.form_likelihood * 10000),
+            st.n_short_lines, st.n_formula_hits,
             graft.lib.Classify.idCardProbe(text),
             graft.lib.Classify.receiptProbe(text), ct)
         }
-        .toDF("doc_id", "n_lines", "n_chars", "avg_line_len", "digit_density",
-          "table_likelihood", "form_likelihood", "id_card_probe",
-          "receipt_probe", "signage_type")
+        .toDF("doc_id", "n_lines", "n_chars", "avg_line_len_c",
+          "digit_density_bp", "upper_density_bp", "punct_density_bp",
+          "table_likelihood_bp", "form_likelihood_bp", "n_short_lines",
+          "n_formula_hits", "id_card_probe", "receipt_probe", "signage_type")
         .orderBy("doc_id")
+    }),
+    // image-type argmax classifier, text analog [STR] (reference
+    // lib/image_processing.py:780-969; VERDICT r01 missing #2)
+    "x09_payload_kind_scored" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents")).select("doc_id", "text")
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val (kind, score) = graft.lib.Classify.classifyPayloadKind(text)
+          (id, kind, math.round(score * 100)) // centipoints
+        }
+        .toDF("doc_id", "payload_kind_scored", "score_c")
+        .orderBy("doc_id")
+    }),
+    // TextRegion spans, relational decomposition (SURVEY §2.3 row 2:
+    // posexplode + window offsets; the typed form feeds
+    // ExtractionResult.spans — SpansSpec asserts both agree)
+    "x10_spans" -> ((s, dir) => {
+      val lines = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val start = coalesce(
+        sum(length(col("line")) + 1)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0))
+      val kind = when(col("line").rlike("^[•\\-*+]") || col("line").rlike("^\\d+[.)]"), "bullet")
+        .when(col("line").contains("|"), "table_row")
+        .when(col("line").rlike("^[A-Z][A-Z\\s]+$"), "header")
+        .when(col("line").rlike("^[\\w\\s]+:"), "form_field")
+        .otherwise("text")
+      lines
+        .withColumn("start_off", start.cast("long"))
+        .filter(trim(col("line")) =!= "")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("start_off"),
+          (col("start_off") + length(col("line"))).as("end_off"), kind.as("kind"))
+        .orderBy("doc_id", "pos")
+    }),
+    // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
+    // processing_times[-10:]; VERDICT r01 missing #4 →
+    // avg over rowsBetween(-9,0); extraction-layer variant:
+    // Pipeline.rollingKindStats)
+    "x11_rolling_last10" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+      s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), col("event_type"),
+          round(avg("value").over(w), 3).as("rolling_avg10"))
+        .orderBy("event_type", "event_id")
     }))
 
   // --- DuckDB oracles -------------------------------------------------------
@@ -237,6 +308,164 @@ object SparkEntry {
   private def mhSql(i: Int): String = {
     val a = TrainingOps.MinhashA(i); val b = TrainingOps.MinhashB(i); val p = TrainingOps.MinhashP
     s"list_min([($shingleHashSql * $a + $b) % $p FOR sh IN list_distinct(${shinglesSql("n")})])"
+  }
+
+  // --- simhash (x03/x06): portable 60-bit md5-prefix hash ------------------
+
+  private def simhashCoreSql: String =
+    s"""SELECT doc_id,
+       | CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+       |   FOR h IN hashes]) > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+       |   FOR b IN range(0, 60)]) AS BIGINT) AS simhash
+       |FROM (SELECT doc_id,
+       |  [CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) FOR w IN string_split(n, ' ')] AS hashes
+       |  FROM (SELECT doc_id, $normSql AS n FROM documents))""".stripMargin
+
+  // --- payload features (x08/x09): mirrors Classify.payloadStats 1:1 -------
+
+  private def containsAnySql(tl: String, words: Seq[String]): String =
+    words.map(w => s"contains($tl, '$w')").mkString("(", " OR ", ")")
+
+  private def keywordCountSql(tl: String, words: Seq[String]): String =
+    words.map(w => s"CASE WHEN contains($tl, '$w') THEN 1 ELSE 0 END").mkString("(", " + ", ")")
+
+  /** Signage content-type CASE chain (Classify.analyzeSignageContent;
+    * reference ocr_processor.py:273-343) — generated from the same
+    * keyword vectors the Scala side dispatches on. */
+  private def signageTypeSql(tl: String): String = {
+    import graft.lib.Classify._
+    s"""CASE WHEN ${containsAnySql(tl, promoWords)} THEN
+       |   CASE WHEN ${containsAnySql(tl, foodWords)} THEN 'restaurant_promotion'
+       |        WHEN ${containsAnySql(tl, retailWords)} THEN 'retail_promotion'
+       |        ELSE 'promotion' END
+       | WHEN ${containsAnySql(tl, propertyWords)} THEN 'property'
+       | WHEN ${containsAnySql(tl, govWords)} THEN 'government'
+       | WHEN ${containsAnySql(tl, religiousWords)} THEN 'religious'
+       | WHEN ${containsAnySql(tl, celebrationWords)} THEN 'celebration'
+       | WHEN ${containsAnySql(tl, directionalWords)} THEN 'directional'
+       | WHEN ${containsAnySql(tl, warningWords)} THEN 'warning'
+       | ELSE 'general' END""".stripMargin
+  }
+
+  /** Per-doc feature CTE — formula order matches Classify.payloadStats
+    * exactly (same blends, same division order) so doubles agree
+    * bit-for-bit on the ASCII testdata. */
+  private def payloadFeaturesSql: String =
+    s"""L AS (
+       |  SELECT doc_id, text, lower(text) AS tl,
+       |    [trim(l) FOR l IN string_split(text, chr(10)) IF trim(l) <> ''] AS lines,
+       |    length(text) AS n
+       |  FROM documents),
+       |F AS (
+       |  SELECT doc_id, text, tl, n, lines,
+       |    len(lines) AS n_lines,
+       |    greatest(len(lines), 1) AS nl,
+       |    CASE WHEN len(lines) = 0 THEN 0.0
+       |         ELSE list_sum([length(l) FOR l IN lines]) * 1.0 / len(lines) END AS avg_len,
+       |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+       |    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_uppers,
+       |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_puncts,
+       |    len(list_filter(lines, l -> contains(l, '|') OR contains(l, chr(9)))) AS delim_rows,
+       |    len(list_filter(lines, l -> regexp_matches(l, '\\S\\s{2,}\\S'))) AS gap_rows,
+       |    len(list_filter(lines, l -> regexp_matches(l, '^[\\w\\s]+:'))) AS colon_rows,
+       |    len(list_filter(lines, l -> length(l) < 40)) AS short_rows,
+       |    len(list_filter(lines, l -> regexp_matches(l, '^[A-Z][A-Za-z\\s]{1,24}[:\\s]'))) AS label_rows,
+       |    len(regexp_extract_all(text, '[=+\\-*/^]|sqrt|sin|cos|tan|log')) AS formula_hits
+       |  FROM L),
+       |G AS (
+       |  SELECT *, CASE WHEN n_lines < 2 THEN 1.0
+       |                 WHEN avg_len = 0 THEN 1.0
+       |                 ELSE least(sqrt(list_sum([(length(l) - avg_len) * (length(l) - avg_len)
+       |                        FOR l IN lines]) / n_lines) / avg_len, 1.0) END AS len_var
+       |  FROM F),
+       |H AS (
+       |  SELECT *,
+       |    least(0.3 * (delim_rows * 1.0 / nl) + 0.4 * (gap_rows * 1.0 / nl)
+       |          + 0.3 * (1.0 - len_var), 1.0) AS table_l,
+       |    least(0.4 * (colon_rows * 1.0 / nl) + 0.3 * (label_rows * 1.0 / nl)
+       |          + 0.3 * (short_rows * 1.0 / nl), 1.0) AS form_l
+       |  FROM G)""".stripMargin
+
+  private def payloadStatsSql: String = {
+    import graft.lib.Classify._
+    s"""WITH $payloadFeaturesSql
+       |SELECT doc_id,
+       | n_lines,
+       | CAST(n AS BIGINT) AS n_chars,
+       | CAST(round(avg_len * 100, 0) AS BIGINT) AS avg_line_len_c,
+       | CAST(round(n_digits * 1.0 / n * 10000, 0) AS BIGINT) AS digit_density_bp,
+       | CAST(round(n_uppers * 1.0 / n * 10000, 0) AS BIGINT) AS upper_density_bp,
+       | CAST(round(n_puncts * 1.0 / n * 10000, 0) AS BIGINT) AS punct_density_bp,
+       | CAST(round(table_l * 10000, 0) AS BIGINT) AS table_likelihood_bp,
+       | CAST(round(form_l * 10000, 0) AS BIGINT) AS form_likelihood_bp,
+       | short_rows AS n_short_lines,
+       | formula_hits AS n_formula_hits,
+       | ${keywordCountSql("tl", graft.lib.Classify.idKeywords)} >= 2 AS id_card_probe,
+       | ${keywordCountSql("tl", graft.lib.Classify.receiptKeywords)} >= 2 AS receipt_probe,
+       | ${signageTypeSql("tl")} AS signage_type
+       |FROM H ORDER BY doc_id""".stripMargin
+  }
+
+  /** Argmax classifier (Classify.classifyPayloadKind mirror): per-type
+    * scores → overrides → stable-desc argmax via sorted (neg-score, idx)
+    * structs → document-vs-specific tie-break → <50 ⇒ mixed. */
+  private def payloadKindScoredSql: String = {
+    import graft.lib.Classify._
+    val idkw = keywordCountSql("tl", idKeywords)
+    val rckw = keywordCountSql("tl", receiptKeywords)
+    s"""WITH $payloadFeaturesSql,
+       |S AS (
+       |  SELECT doc_id,
+       |   (CASE WHEN n_lines BETWEEN 1 AND 10 THEN 20 ELSE 0 END
+       |    + CASE WHEN n_uppers * 1.0 / n > 0.3 THEN 30 ELSE 0 END
+       |    + CASE WHEN n_puncts * 1.0 / n > 0.05 THEN 20 ELSE 0 END
+       |    + CASE WHEN avg_len < 30 AND n_lines <= 10 THEN 30 ELSE 0 END
+       |    + CASE WHEN n_digits * 1.0 / n < 0.05 THEN 10 ELSE 0 END) * 1.0 AS s_sig,
+       |   CASE WHEN $idkw >= 2
+       |        THEN 80 + CASE WHEN form_l * 100 > 50 THEN 20 ELSE 0 END
+       |        ELSE 0 END * 1.0 AS s_id,
+       |   CASE WHEN $rckw >= 2
+       |        THEN 70 + CASE WHEN form_l * 100 > 30 THEN 30 ELSE 0 END
+       |        ELSE 0 END * 1.0 AS s_rec,
+       |   CASE WHEN n_lines > 10 AND avg_len > 40
+       |        THEN 60 + CASE WHEN n_lines > 20 THEN 20 ELSE 0 END
+       |        ELSE 0 END * 1.0 AS s_doc,
+       |   form_l * 100 AS s_form,
+       |   CASE WHEN formula_hits > 3
+       |        THEN 60 + CASE WHEN table_l * 100 > 40 THEN 40 ELSE 0 END
+       |        ELSE 0 END * 1.0 AS s_sci,
+       |   CASE WHEN n_lines > 10 AND short_rows > n_lines * 0.6
+       |        THEN 50 + CASE WHEN n_lines > 30 THEN 30 ELSE 0 END
+       |        ELSE 0 END * 1.0 AS s_news,
+       |   table_l * 100 AS s_tab
+       |  FROM H),
+       |R AS (
+       |  SELECT doc_id, s_sig, s_tab, list_sort([
+       |    {'ns': -s_sig, 'i': 0, 't': 'signage'},
+       |    {'ns': -s_id, 'i': 1, 't': 'id_card'},
+       |    {'ns': -s_rec, 'i': 2, 't': 'receipt'},
+       |    {'ns': -s_doc, 'i': 3, 't': 'document'},
+       |    {'ns': -s_form, 'i': 4, 't': 'form'},
+       |    {'ns': -s_sci, 'i': 5, 't': 'scientific'},
+       |    {'ns': -s_news, 'i': 6, 't': 'newspaper'},
+       |    {'ns': -s_tab, 'i': 7, 't': 'table'}]) AS sl
+       |  FROM S),
+       |B AS (
+       |  SELECT doc_id, s_sig, s_tab,
+       |   CASE WHEN sl[1].t = 'document' AND (-sl[1].ns) - (-sl[2].ns) < 10
+       |        THEN sl[2].t ELSE sl[1].t END AS bt,
+       |   CASE WHEN sl[1].t = 'document' AND (-sl[1].ns) - (-sl[2].ns) < 10
+       |        THEN -sl[2].ns ELSE -sl[1].ns END AS bs
+       |  FROM R)
+       |SELECT doc_id,
+       | CASE WHEN s_sig > 60 THEN 'signage'
+       |      WHEN s_tab > 70 THEN 'table'
+       |      WHEN bs < 50 THEN 'mixed'
+       |      ELSE bt END AS payload_kind_scored,
+       | CAST(round(CASE WHEN s_sig > 60 THEN s_sig
+       |                 WHEN s_tab > 70 THEN s_tab
+       |                 ELSE bs END * 100, 0) AS BIGINT) AS score_c
+       |FROM B ORDER BY doc_id""".stripMargin
   }
 
   private def langIdSql: String = {
@@ -441,7 +670,57 @@ object SparkEntry {
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
         |FROM part a JOIN part b
         |  ON a.p_partkey <> b.p_partkey AND contains(b.p_name, a.p_name)
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x03_simhash" ->
+      s"""$simhashCoreSql
+         |ORDER BY doc_id""".stripMargin,
+    "x06_simhash_pairs" ->
+      s"""WITH sigs AS ($simhashCoreSql),
+         |bands AS (
+         |  SELECT doc_id, simhash, t.b AS band, (simhash >> (t.b * 15)) & 32767 AS bval
+         |  FROM sigs, range(0, 4) t(b))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+         |ORDER BY id_a, id_b""".stripMargin,
+    "x05_multimodal" ->
+      """SELECT doc_id, length(text) AS n_bytes,
+        | CAST(list_sum([ascii(c) FOR c IN string_split(text, '')]) AS BIGINT) AS byte_sum,
+        | array_to_string([ascii(c)::VARCHAR FOR c IN list_slice(string_split(text, ''), 1, 4)], ',') AS head_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x07_markdown_listing" ->
+      """SELECT 'conv-' || lpad(CAST(doc_id // 10 AS VARCHAR), 8, '0')
+        |   || '_' || CAST(doc_id % 10 AS VARCHAR) || '.md' AS filename,
+        | CAST(1700000000 + doc_id AS BIGINT) AS created,
+        | CAST(length(text) AS BIGINT) AS size_chars
+        |FROM documents ORDER BY created DESC, filename LIMIT 50""".stripMargin,
+    "x08_payload_stats" -> payloadStatsSql,
+    "x09_payload_kind_scored" -> payloadKindScoredSql,
+    "x10_spans" ->
+      """WITH lines AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |         unnest(range(0, len(string_split(text, chr(10))))) AS pos
+        |  FROM documents),
+        |offs AS (
+        |  SELECT doc_id, pos, line,
+        |    CAST(coalesce(sum(length(line) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM lines)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, start_off,
+        |  start_off + length(line) AS end_off,
+        |  CASE WHEN regexp_matches(line, '^[•\-*+]') OR regexp_matches(line, '^\d+[.)]') THEN 'bullet'
+        |       WHEN contains(line, '|') THEN 'table_row'
+        |       WHEN regexp_matches(line, '^[A-Z][A-Z\s]+$') THEN 'header'
+        |       WHEN regexp_matches(line, '^[\w\s]+:') THEN 'form_field'
+        |       ELSE 'text' END AS kind
+        |FROM offs WHERE trim(line) <> '' ORDER BY doc_id, pos""".stripMargin,
+    "x11_rolling_last10" ->
+      """SELECT event_id, event_type,
+        | round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 3) AS rolling_avg10
+        |FROM events ORDER BY event_type, event_id""".stripMargin)
 }
 
 /** Exposed for oracle generation. */

@@ -18,7 +18,10 @@ import Py._
   */
 object Classify {
 
-  private val idKeywords = Vector(
+  // public: the DuckDB oracle SQL for the probe/classifier queries is
+  // generated from these same literals (SparkEntry), so the two sides
+  // cannot drift.
+  val idKeywords = Vector(
     "nik", "ktp", "provinsi", "kabupaten", "kecamatan",
     "agama", "status perkawinan", "kewarganegaraan")
 
@@ -29,7 +32,7 @@ object Classify {
     idKeywords.count(tl.contains) >= 2
   }
 
-  private val receiptKeywords = Vector(
+  val receiptKeywords = Vector(
     "total", "subtotal", "cash", "change", "tax", "amount",
     "item", "qty", "price", "payment", "receipt", "invoice",
     "jumlah", "tunai", "kembalian", "pajak", "harga", "kasir",
@@ -42,27 +45,27 @@ object Classify {
     receiptKeywords.count(tl.contains) >= 2
   }
 
-  private val promoWords = Vector("beli", "diskon", "gratis", "promo", "sale",
+  val promoWords = Vector("beli", "diskon", "gratis", "promo", "sale",
     "discount", "free", "special", "offer", "limited", "new", "buy")
-  private val foodWords = Vector("menu", "restoran", "restaurant", "makanan",
+  val foodWords = Vector("menu", "restoran", "restaurant", "makanan",
     "food", "makan", "cafe", "kafe", "kebab", "pizza", "burger")
-  private val retailWords = Vector("toko", "store", "shop", "mall", "retail",
+  val retailWords = Vector("toko", "store", "shop", "mall", "retail",
     "belanja", "shopping")
-  private val propertyWords = Vector("jual", "sewa", "dijual", "disewakan",
+  val propertyWords = Vector("jual", "sewa", "dijual", "disewakan",
     "rent", "sale", "property", "rumah", "apartemen", "tanah", "house",
     "apartment", "land", "estate")
-  private val govWords = Vector("kantor", "pemerintah", "dinas", "kementerian",
+  val govWords = Vector("kantor", "pemerintah", "dinas", "kementerian",
     "departemen", "ministry", "office", "government", "official", "agency", "badan")
-  private val religiousWords = Vector("masjid", "mosque", "gereja", "church",
+  val religiousWords = Vector("masjid", "mosque", "gereja", "church",
     "temple", "kuil", "agama", "religion", "allah", "tuhan", "god",
     "muhammad", "jesus")
-  private val celebrationWords = Vector("selamat", "congratulations",
+  val celebrationWords = Vector("selamat", "congratulations",
     "peringatan", "commemoration", "acara", "event", "festival",
     "celebration", "memperingati")
-  private val directionalWords = Vector("arah", "direction", "jalan", "road",
+  val directionalWords = Vector("arah", "direction", "jalan", "road",
     "belok", "turn", "km", "meter", "parkir", "parking", "masuk", "enter",
     "keluar", "exit")
-  private val warningWords = Vector("awas", "warning", "bahaya", "danger",
+  val warningWords = Vector("awas", "warning", "bahaya", "danger",
     "hati-hati", "caution", "peringatan", "larangan", "dilarang",
     "prohibited", "stop")
 
@@ -171,11 +174,13 @@ object Classify {
       upper_density: Double,
       punct_density: Double,
       table_likelihood: Double,
-      form_likelihood: Double)
+      form_likelihood: Double,
+      n_short_lines: Int,
+      n_formula_hits: Int)
 
   def payloadStats(text: String): PayloadStats = {
     if (text == null || text.isEmpty)
-      return PayloadStats(0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      return PayloadStats(0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0)
     val lines = splitLines(text).map(strip).filter(_.nonEmpty)
     val n = len(text)
     var digits = 0; var uppers = 0; var puncts = 0
@@ -206,10 +211,78 @@ object Classify {
       0.3 * (shortRows.toDouble / nl)
     PayloadStats(lines.length, n, avgLen,
       digits.toDouble / n, uppers.toDouble / n, puncts.toDouble / n,
-      math.min(tableL, 1.0), math.min(formL, 1.0))
+      math.min(tableL, 1.0), math.min(formL, 1.0),
+      shortRows, Formatters.countFormulaHits(text))
   }
 
   private val pGap2 = compile("\\S\\s{2,}\\S")
   private val pColonLine = compile("^[\\w\\s]+:")
   private val pLabelStart = compile("^[A-Z][A-Za-z\\s]{1,24}[:\\s]")
+
+  /** Payload-kind types the scored classifier can emit, in the same
+    * insertion order the reference builds its score dict
+    * (lib/image_processing.py:788-937) restricted to the types that have
+    * a text analog; "document" is the only non-specific type, matching
+    * the reference's specific_types tie-break list (:950-955). */
+  val ScoredKinds: Vector[String] = Vector(
+    "signage", "id_card", "receipt", "document", "form",
+    "scientific", "newspaper", "table")
+
+  /** Image-type argmax classifier, text-payload analog [STR]
+    * (reference lib/image_processing.py:780-969: per-type score dict →
+    * overrides signage>60 / table>70 → stable-desc argmax → close-score
+    * tie-break preferring specific types → <50 ⇒ MIXED). Pixel features
+    * (blur, brightness, aspect) have no text analog; each score keeps
+    * the reference's structure (base score + conditional bonuses) over
+    * the PayloadStats text features. Returns (kind, winning score).
+    *
+    * All arithmetic is mirrored 1:1 by the generated DuckDB oracle SQL
+    * (SparkEntry x09) — keep formula order identical on both sides. */
+  def classifyPayloadKind(text: String): (String, Double) = {
+    val st = payloadStats(text)
+    val tableScore = st.table_likelihood * 100.0 // ref :937 scores[TABLE]=table_likelihood
+    val formScore = st.form_likelihood * 100.0 // ref :888 scores[FORM]=form_likelihood
+    // signage (:796-827): accumulated feature bonuses
+    var signageScore = 0.0
+    if (st.n_lines >= 1 && st.n_lines <= 10) signageScore += 20 // few text regions
+    if (st.upper_density > 0.3) signageScore += 30 // high contrast analog
+    if (st.punct_density > 0.05) signageScore += 20 // color variance analog
+    if (st.avg_line_len < 30 && st.n_lines <= 10) signageScore += 30 // banner aspect analog
+    if (st.digit_density < 0.05) signageScore += 10 // brightness analog
+    // id card (:831-838): probe + form-layout bonus
+    val idScore =
+      if (idCardProbe(text)) 80.0 + (if (formScore > 50) 20.0 else 0.0) else 0.0
+    // receipt (:841-846): probe + aligned-field bonus
+    val receiptScore =
+      if (receiptProbe(text)) 70.0 + (if (formScore > 30) 30.0 else 0.0) else 0.0
+    // document (:849-857): long multi-line prose
+    val documentScore =
+      if (st.n_lines > 10 && st.avg_line_len > 40)
+        60.0 + (if (st.n_lines > 20) 20.0 else 0.0)
+      else 0.0
+    // scientific (:901-909): formula hits + table bonus
+    val scientificScore =
+      if (st.n_formula_hits > 3) 60.0 + (if (tableScore > 40) 40.0 else 0.0) else 0.0
+    // newspaper (:923-934): many short lines = multi-column analog
+    val newspaperScore =
+      if (st.n_lines > 10 && st.n_short_lines > st.n_lines * 0.6)
+        50.0 + (if (st.n_lines > 30) 30.0 else 0.0)
+      else 0.0
+    val scores = Vector(
+      "signage" -> signageScore, "id_card" -> idScore, "receipt" -> receiptScore,
+      "document" -> documentScore, "form" -> formScore,
+      "scientific" -> scientificScore, "newspaper" -> newspaperScore,
+      "table" -> tableScore)
+    // overrides (:939-944)
+    if (signageScore > 60) return ("signage", signageScore)
+    if (tableScore > 70) return ("table", tableScore)
+    // stable desc sort = Python sorted(..., reverse=True) tie behavior
+    val sorted = scores.sortBy(s => -s._2)
+    var best = sorted(0)
+    // close scores prefer the specific type (:947-961); "document" is the
+    // only non-specific kind in ScoredKinds
+    if (sorted(0)._2 - sorted(1)._2 < 10 && sorted(0)._1 == "document")
+      best = sorted(1)
+    if (best._2 < 50) ("mixed", best._2) else best
+  }
 }

@@ -89,7 +89,7 @@ object Formatters {
   /** count of the formula-indicator pattern matches (single operator
     * chars or sqrt/sin/cos/tan/log) — exact non-overlapping
     * alternation-order scan. */
-  private def countFormulaHits(text: String): Int = {
+  private[lib] def countFormulaHits(text: String): Int = {
     var n = 0
     var i = 0
     while (i < text.length) {
@@ -113,8 +113,15 @@ object Formatters {
   /** Transcript payloads carry no positional layout info, so the
     * layout-driven branches collapse to text-based detection
     * (layout_info=None path). */
-  def formatText(text: String): String = {
-    if (text == null || text.isEmpty) return ""
+  def formatText(text: String): String = formatTextWithStructure(text)._1
+
+  /** formatText plus the structure detected on the INPUT text — lets the
+    * caller skip the enrichment-stage re-detection when formatting turned
+    * out to be the identity (the reference recomputes on the formatted
+    * text, smartglass_ocr.py:1223, so the value may only be reused when
+    * output == input). */
+  def formatTextWithStructure(text: String): (String, String) = {
+    if (text == null || text.isEmpty) return ("", null)
     val structure = detectDocumentStructure(text)
     val formatted = structure match {
       case DocStructure.PlainText => formatPlainText(text)
@@ -127,7 +134,7 @@ object Formatters {
       case DocStructure.Scientific => formatScientific(text)
       case _ => defaultFormatting(text)
     }
-    strip(subLit(pCharWhitelist, "", formatted))
+    (strip(subLit(pCharWhitelist, "", formatted)), structure)
   }
 
   // --- _format_plain_text (:1261-1273) -----------------------------------

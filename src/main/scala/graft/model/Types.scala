@@ -99,8 +99,14 @@ final case class ExtractionResult(
     structured_rows: Seq[Map[String, String]],
     confidence_level: String,
     markdown: String,
+    spans: Seq[Span], // TextRegion analog over formatted_text (SURVEY §1.1)
     n_chars: Int,
     n_tokens: Int)
+
+/** TextRegion analog (reference lib/model.py:79-87): a line-level region
+  * of the formatted text as [start, end) char offsets plus a kind
+  * classification (bullet | table_row | header | form_field | text). */
+final case class Span(start: Int, end: Int, kind: String)
 
 /** Per-partition audit row written by the sink (SURVEY.md §7.1.7). */
 final case class Lineage(

@@ -35,8 +35,10 @@ object StreamingPipeline {
 
   /** Rolling per-kind stats with EMA success rate — the reference's
     * _update_processing_stats re-expressed as keyed streaming state.
-    * success = status == "success"; ema' = 0.7*ema + 0.3*success
-    * (smartglass_ocr.py:1069-1075). */
+    * The reference smooths the CUMULATIVE success rate, not the per-item
+    * 0/1 indicator: rate = success_count/count after each item, then
+    * ema' = 0.7*ema + 0.3*rate, initialized to the first rate on first
+    * sighting (smartglass_ocr.py:1068-1075). */
   final case class KindStats(
       payload_kind: String, n_turns: Long, n_success: Long, ema_success: Double)
 
@@ -63,13 +65,13 @@ object StreamingPipeline {
       state.remove()
       return Iterator.single(last)
     }
-    var s = state.getOption.getOrElse(KindStats(kind, 0L, 0L, 1.0))
+    var s = state.getOption.getOrElse(KindStats(kind, 0L, 0L, 0.0))
     rows.foreach { case (_, ok) =>
-      s = KindStats(
-        kind,
-        s.n_turns + 1,
-        s.n_success + (if (ok) 1 else 0),
-        0.7 * s.ema_success + 0.3 * (if (ok) 1.0 else 0.0))
+      val n = s.n_turns + 1
+      val nSuccess = s.n_success + (if (ok) 1 else 0)
+      val rate = nSuccess.toDouble / n // cumulative, smartglass_ocr.py:1068
+      val ema = if (s.n_turns == 0) rate else 0.7 * s.ema_success + 0.3 * rate
+      s = KindStats(kind, n, nSuccess, ema)
     }
     state.update(s)
     stateTtl.foreach(state.setTimeoutDuration) // stale-state TTL (opt-in)
