@@ -226,7 +226,7 @@ object TrainingOps {
     * annBruteForce, so recall@k is directly measurable — see
     * ivfRecallAtK). */
   def annIvf(embeddings: DataFrame, k: Int = 20, nCentroids: Int = 16,
-             nprobe: Int = 4, iters: Int = 5, sampleN: Int = 256): DataFrame = {
+             nprobe: Int = 5, iters: Int = 10, sampleN: Int = 512): DataFrame = {
     val sample = embeddings.orderBy("vec_id").limit(sampleN)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
     val qId = sample.head._1

@@ -68,6 +68,29 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("q14: cosine pairs is an equi-join on grid cells, not a cross join") {
+    val p = plan("q14_cos_neardup_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q14 must not cross-join at scale:\n$p")
+    assert(p.contains("ckey"), s"expected the grid-cell equi key in the plan:\n$p")
+  }
+
+  test("q21: containment join is gram-blocked, not a nested-loop cross") {
+    val p = plan("q21_containment_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q21 must not cross-join at scale:\n$p")
+  }
+
+  test("x06: simhash signatures compute once behind a materialization boundary") {
+    val p = plan("x06_simhash_pairs")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the persisted signature table on both join sides:\n$p")
+    // the expensive fingerprint aggregate must not be inlined into a Filter
+    val filterLines = p.linesIterator.filter(_.trim.startsWith("+- Filter")).mkString("\n")
+    assert(!filterLines.contains("aggregate("),
+      s"simhash aggregate leaked into a Filter:\n$filterLines")
+  }
+
   test("x02: metrics never reads the fat text column") {
     val df = SparkEntry.queries("x02_extract_metrics")(spark, sfDir)
     // The extraction stage necessarily reads text, but the metrics

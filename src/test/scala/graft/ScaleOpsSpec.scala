@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TrainingOps
+
+/** Round-2 operator semantics: exactness of the grid-blocked cosine
+  * join, IVF recall, the scored payload classifier's override/tie-break
+  * branches, span segmentation agreement (typed vs relational), and the
+  * last-10 rolling metric.
+  */
+class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfSmall = "/root/testdata/sf0.001"
+  private val sfMid = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("scale-ops")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // --- grid epsilon-join: exact, not approximate ---------------------------
+
+  test("cosineNearDupPairs (grid equi-join) equals brute-force all-pairs") {
+    val emb = spark.read.parquet(s"$sfSmall/embeddings.parquet")
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (threshold <- Seq(0.45, 0.7, 0.9)) {
+      val expected = (for {
+        i <- vecs.indices.iterator
+        j <- (i + 1) until vecs.length
+        s = math.round(cos(vecs(i)._2, vecs(j)._2) * 1000) / 1000.0
+        if s >= threshold
+      } yield {
+        val (ia, ib) = (vecs(i)._1, vecs(j)._1)
+        (math.min(ia, ib), math.max(ia, ib))
+      }).toSet
+      val got = TrainingOps.cosineNearDupPairs(emb, threshold)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"t=$threshold: grid join missed ${(expected -- got).take(5)} / extra ${(got -- expected).take(5)}")
+    }
+  }
+
+  // --- IVF: honest recall ---------------------------------------------------
+
+  test("annIvf recall@20 vs brute force >= 0.8") {
+    val emb = spark.read.parquet(s"$sfMid/embeddings.parquet")
+    val recall = TrainingOps.ivfRecallAtK(emb, 20)
+    assert(recall >= 0.8, s"IVF recall@20 = $recall < 0.8")
+  }
+
+  // --- scored classifier branches (image_processing.py:938-967 analogs) ----
+
+  test("classifier: signage>60 override wins before anything else") {
+    val text = "BIG SALE!!\nBUY NOW!!"
+    val (kind, score) = graft.lib.Classify.classifyPayloadKind(text)
+    assert(kind == "signage" && score > 60, s"got ($kind, $score)")
+  }
+
+  test("classifier: table>70 override beats the argmax") {
+    val text = (1 to 12).map(_ => "a1  |  b2").mkString("\n")
+    val (kind, score) = graft.lib.Classify.classifyPayloadKind(text)
+    assert(kind == "table" && score > 70, s"got ($kind, $score)")
+  }
+
+  test("classifier: close scores swap document for the specific type") {
+    // 32 lines, 22 short (30 chars) + 10 long (90 chars):
+    // document = 60+20, newspaper = 50+30 → tie at 80, stable order puts
+    // document first, tie-break (<10 apart, specific beats generic)
+    // swaps to newspaper.
+    val short = "x" * 30
+    val long = "y" * 90
+    val text = ((1 to 22).map(_ => short) ++ (1 to 10).map(_ => long)).mkString("\n")
+    val (kind, score) = graft.lib.Classify.classifyPayloadKind(text)
+    assert(kind == "newspaper" && score == 80.0, s"got ($kind, $score)")
+  }
+
+  test("classifier: weak scores collapse to mixed") {
+    val text = "the quick brown fox jumps over the lazy dog repeatedly and often again"
+    val (kind, _) = graft.lib.Classify.classifyPayloadKind(text)
+    assert(kind == "mixed", s"got $kind")
+  }
+
+  test("classifier: id-card probe scores 80/100 and wins") {
+    val text = "NIK: 1234567890123456\nKTP test"
+    val (kind, score) = graft.lib.Classify.classifyPayloadKind(text)
+    assert(kind == "id_card" && score >= 80, s"got ($kind, $score)")
+  }
+
+  // --- spans: typed function == relational decomposition == engine column --
+
+  test("Spans.lineSpans agrees with the relational x10 query") {
+    val docs = spark.read.parquet(s"$sfSmall/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rel = SparkEntry.queries("x10_spans")(spark, sfSmall).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2).toInt, r.getLong(3).toInt, r.getString(4))).toSeq)
+      .toMap
+    assert(rel.nonEmpty)
+    for ((id, text) <- docs) {
+      val typed = graft.lib.Spans.lineSpans(text).map(s => (s.start, s.end, s.kind))
+      val relational = rel.getOrElse(id, Seq.empty)
+      assert(typed == relational, s"doc $id spans diverge: $typed vs $relational")
+    }
+  }
+
+  test("extraction results carry spans over formatted_text") {
+    val turns = Pipeline.turnsFromDocuments(spark, sfSmall).limit(30)
+    val rows = Pipeline.extractTurns(turns).collect()
+    assert(rows.forall(r => r.spans != null))
+    for (r <- rows) {
+      val expect = graft.lib.Spans.lineSpans(r.formatted_text)
+      assert(r.spans == expect, s"spans mismatch for ${r.conv_id}/${r.turn_idx}")
+      for (s <- r.spans) {
+        val line = r.formatted_text.substring(s.start, s.end)
+        assert(!line.contains("\n") && line.trim.nonEmpty, s"bad span $s")
+      }
+    }
+  }
+
+  // --- last-10 rolling metric ----------------------------------------------
+
+  test("rollingKindStats is the mean of the last 10 rows per kind") {
+    val turns = Pipeline.turnsFromDocuments(spark, sfSmall).limit(60)
+    val results = Pipeline.extractTurns(turns)
+    val rolled = Pipeline.rollingKindStats(results).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2)), r.getDouble(5))).toMap
+    val rows = results.collect()
+      .map(r => (r.payload_kind, r.ts.getTime, r.conv_id, r.turn_idx, r.n_chars))
+      .sortBy(t => (t._1, t._2, t._3, t._4))
+    val byKind = rows.groupBy(_._1)
+    for ((kind, rs) <- byKind; i <- rs.indices) {
+      val windowRows = rs.slice(math.max(0, i - 9), i + 1)
+      val expect = math.round(windowRows.map(_._5.toDouble).sum / windowRows.length * 100) / 100.0
+      val key = (kind, rs(i)._3, rs(i)._4)
+      assert(math.abs(rolled(key) - expect) < 1e-9,
+        s"rolling avg for $key: ${rolled(key)} != $expect")
+    }
+  }
+}
