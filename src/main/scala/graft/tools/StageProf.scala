@@ -28,6 +28,12 @@ object StageProf {
     bench("insights")(t => graft.lib.Summarizer.extractKeyInsights(t))
     bench("structureDetect")(t => Formatters.detectDocumentStructure(t))
     bench("cleanResponse")(t => TextCorrections.cleanResponseText(t))
+    bench("spans")(t => Spans.lineSpans(t))
+    bench("markdown")(t => Markdown.render(
+      filename = "c_0", ts = new Timestamp(0), status = "success",
+      formattedText = t, confidence = 100.0, detectedLanguage = "en",
+      payloadKind = "document", summaryRaw = "s", insightsRaw = null,
+      documentStructure = "mixed", structured = None))
     val turn0 = Turn("c", 0, "u", texts(0), "document", new Timestamp(0))
     bench("FULL extract")(t => Extractor.extract(turn0.copy(text = t)))
   }
