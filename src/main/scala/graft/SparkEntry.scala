@@ -284,6 +284,32 @@ object SparkEntry {
           (col("start_off") + length(col("line"))).as("end_off"), kind.as("kind"))
         .orderBy("doc_id", "pos")
     }),
+    // block merge: consecutive non-blank lines fuse into block spans —
+    // the text analog of the reference's y-proximity text-region merge
+    // (lib/image_processing.py:421-558; SURVEY §2.3 row 2: posexplode +
+    // conditional-cumsum window merge + per-block bbox aggregate)
+    "x12_block_spans" -> ((s, dir) => {
+      val lines = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val start = coalesce(
+        sum(length(col("line")) + 1)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0))
+      val isBlank = when(trim(col("line")) === "", 1).otherwise(0)
+      lines
+        .withColumn("start_off", start.cast("long"))
+        .withColumn("blk",
+          sum(isBlank).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(trim(col("line")) =!= "")
+        .groupBy(col("doc_id"), col("blk"))
+        .agg(count(lit(1)).as("n_lines"),
+          min(col("start_off")).as("start_off"),
+          max(col("start_off") + length(col("line"))).as("end_off"))
+        .select(col("doc_id"), col("blk").cast("long").as("block_id"),
+          col("n_lines"), col("start_off"), col("end_off"))
+        .orderBy("doc_id", "block_id")
+    }),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:]; VERDICT r01 missing #4 →
     // avg over rowsBetween(-9,0); extraction-layer variant:
@@ -720,7 +746,24 @@ object SparkEntry {
       """SELECT event_id, event_type,
         | round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
         |   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 3) AS rolling_avg10
-        |FROM events ORDER BY event_type, event_id""".stripMargin)
+        |FROM events ORDER BY event_type, event_id""".stripMargin,
+    "x12_block_spans" ->
+      """WITH lines AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |         unnest(range(0, len(string_split(text, chr(10))))) AS pos
+        |  FROM documents),
+        |offs AS (
+        |  SELECT doc_id, pos, line,
+        |    CAST(coalesce(sum(length(line) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off,
+        |    CAST(sum(CASE WHEN trim(line) = '' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS blk
+        |  FROM lines)
+        |SELECT doc_id, blk AS block_id, count(*) AS n_lines,
+        | min(start_off) AS start_off, max(start_off + length(line)) AS end_off
+        |FROM offs WHERE trim(line) <> ''
+        |GROUP BY doc_id, blk ORDER BY doc_id, block_id""".stripMargin)
 }
 
 /** Exposed for oracle generation. */
