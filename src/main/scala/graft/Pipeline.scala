@@ -82,8 +82,25 @@ object Pipeline {
     * (idempotent keyed by (conv_id, turn_idx) — the resume anti-join
     * guarantees no key is written twice); metrics are recomputed over
     * the full committed table. */
-  def appendResults(results: Dataset[ExtractionResult], outDir: String): Unit =
+  def appendResults(results: Dataset[ExtractionResult], outDir: String): Unit = {
+    purgeStaleAttempts(results.sparkSession, outDir)
     writeWithLineage(results, outDir, overwrite = false)
+  }
+
+  /** A SIGKILLed job leaves its task outputs under results/_temporary;
+    * the v1 FileOutputCommitter of the NEXT append job sweeps everything
+    * under _temporary/<appAttempt> into the commit, so a dead attempt's
+    * completed tasks would resurface as duplicate (conv_id, turn_idx)
+    * keys. The resume anti-join can't see them (hidden _ paths), so the
+    * stale attempt dirs must be purged before appending. Observed live
+    * in a 1M-turn SIGKILL drill (an orphan part file swept into the
+    * resumed commit). */
+  private def purgeStaleAttempts(spark: SparkSession, outDir: String): Unit =
+    for (sub <- Seq("results", "lineage")) {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$sub/_temporary")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
 
   private def writeWithLineage(
       results: Dataset[ExtractionResult], outDir: String, overwrite: Boolean): Unit = {

@@ -131,6 +131,29 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lineageN == done.size.toLong, s"lineage rows $lineageN != results ${done.size}")
   }
 
+  test("resume append purges a dead attempt's _temporary task outputs") {
+    val ss = spark
+    import ss.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    val first20 = Pipeline.turnsFromDocuments(spark, sfDir).limit(20)
+    Pipeline.writeResults(Pipeline.extractTurns(first20), out)
+    // plant a dead job's committed-task output where the next append's
+    // v1 committer would sweep it into the commit
+    val stale = new java.io.File(s"$out/results/_temporary/0/task_202608160000_0007_m_000000")
+    assert(stale.mkdirs())
+    val donor = new java.io.File(s"$out/results").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+    java.nio.file.Files.copy(donor.toPath,
+      new java.io.File(stale, donor.getName.replace("part-00000", "part-00999")).toPath)
+    val all40 = Pipeline.turnsFromDocuments(spark, sfDir).limit(40)
+    val remaining = Pipeline.resume(spark, all40, out)
+    Pipeline.appendResults(Pipeline.extractTurns(remaining), out)
+    val keys = spark.read.parquet(s"$out/results")
+      .select("conv_id", "turn_idx").as[(String, Int)].collect()
+    assert(keys.length == 40, s"stale attempt leaked: ${keys.length} rows, expected 40")
+    assert(keys.distinct.length == 40, "duplicate keys after resume")
+  }
+
   test("salting spreads a hot conversation across partitions") {
     val ss = spark
     import ss.implicits._
