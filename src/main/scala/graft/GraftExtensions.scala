@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: `--conf spark.sql.extensions=
+  * graft.GraftExtensions` (or `builder.withExtensions(new
+  * GraftExtensions)`) makes the engine's native expressions available
+  * to plain SQL (`SELECT simhash60(text) ...`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.simhash60Descriptor)
+}
+
+/** Runtime registration for library callers that already hold a built
+  * session (idempotent; TrainingOps calls it before using the
+  * function). */
+object GraftFunctions {
+  val simhash60Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash60"),
+    new ExpressionInfo(classOf[graft.expr.SimHash60].getName, "simhash60"),
+    (children: Seq[Expression]) => graft.expr.SimHash60(children.head))
+
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graftshim.GraftRegistry.register(
+      spark, "simhash60", simhash60Descriptor._3)
+}

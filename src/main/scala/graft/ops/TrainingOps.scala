@@ -91,28 +91,19 @@ object TrainingOps {
     * so the signature query has a real SQL oracle; 15 hex = 60 bits keeps
     * the shifted value inside a signed 64-bit in both engines). For each
     * bit, +1/-1 votes are summed over all word occurrences; the sign bits
-    * assemble the fingerprint. One pass, no joins. */
+    * assemble the fingerprint. One pass, no joins.
+    *
+    * Computed by the native codegen'd expression graft.expr.SimHash60 —
+    * the custom-Expression tier beats both the equivalent nested
+    * aggregate/zip_with lambda tree and any UDF; only the normalization
+    * stays as built-in columns. */
   val SimhashBits = 60
 
-  def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhashCol(col("text")).as("simhash")).orderBy("doc_id")
-
-  private[graft] def simhashCol(text: Column): Column = {
-    val words = split(normText(text), " ")
-    val hashes = transform(words,
-      w => conv(substring(md5(w), 1, 15), 16, 10).cast(LongType))
-    val bitVotes = sequence(lit(0), lit(SimhashBits - 1))
-    aggregate(
-      hashes,
-      array_repeat(lit(0L), SimhashBits),
-      (acc, h) => zip_with(acc, bitVotes,
-        (a, bit) =>
-          a + when(call_function("shiftright", h, bit.cast("int")).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L)),
-      acc => aggregate(
-        zip_with(acc, bitVotes, (v, bit) =>
-          when(v > 0, call_function("shiftleft", lit(1L), bit.cast("int"))).otherwise(0L)),
-        lit(0L), (s, x) => s.bitwiseOR(x)))
+  def simhash(docs: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("simhash60", normText(col("text"))).as("simhash"))
+      .orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs via 15-bit band blocking: a pair within
@@ -291,22 +282,33 @@ object TrainingOps {
     val cellCols = (1 to gridDims).map { i =>
       floor(element_at(emb, i) / when(norm === 0, lit(1.0)).otherwise(norm) / eps).cast("long")
     }
-    val base = embeddings.select(col("vec_id"), col("embedding"), array(cellCols: _*).as("cell"))
+    // per-row norm computed ONCE here and reused per candidate pair —
+    // the pair stage then pays a single dot product, not dot + 2 norms
+    // (sqrt(dot(x,x)) is the same double either way, so the rounded sim
+    // matches the oracle bit-for-bit)
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(aggregate(emb, lit(0.0), (s, v) => s + v * v)).as("nrm"),
+      array(cellCols: _*).as("cell"))
     // all 3^gridDims neighbor offsets, e.g. (-1,-1,-1)..(1,1,1)
     val offsets: Seq[Seq[Long]] =
       (1 to gridDims).foldLeft(Seq(Seq.empty[Long])) { (acc, _) =>
         acc.flatMap(p => Seq(-1L, 0L, 1L).map(d => p :+ d))
       }
     val a = base.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"),
       concat_ws(",", transform(col("cell"), c => c.cast("string"))).as("ckey"))
     val b = base.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"),
       explode(transform(typedLit(offsets),
         off => concat_ws(",", zip_with(col("cell"), off, (c, d) => (c + d).cast("string")))))
         .as("ckey"))
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (s, v) => s + v)
     a.join(b, Seq("ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(asDouble(col("emb_a")), asDouble(col("emb_b"))), 3).as("sim"))
+        round(dot(asDouble(col("emb_a")), asDouble(col("emb_b")))
+          / (col("nrm_a") * col("nrm_b")), 3).as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy("id_a", "id_b")
   }

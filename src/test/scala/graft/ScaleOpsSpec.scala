@@ -136,6 +136,41 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --- native SimHash60 expression ------------------------------------------
+
+  test("SimHashImpl matches an independent hex-string md5 formulation") {
+    def refWordHash(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      val hex = d.map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def refSimhash(norm: String): Long = {
+      val hashes = norm.split(" ", -1).map(refWordHash)
+      (0 until 60).foldLeft(0L) { (acc, b) =>
+        val vote = hashes.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) acc | (1L << b) else acc
+      }
+    }
+    for (s <- Seq("", "a", "hello world", "the quick brown fox", "x y z x y",
+      "unicode: é中😀 stripped upstream", "a  b")) {
+      assert(graft.expr.SimHashImpl.simhash60(s) == refSimhash(s), s"diverged on '$s'")
+    }
+  }
+
+  test("simhash60 is SQL-callable via GraftExtensions/registration and codegen-evaluated") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT simhash60('hello world test') AS h").head()
+    assert(row.getLong(0) == graft.expr.SimHashImpl.simhash60("hello world test"))
+    // DuckDB-validated pin for the same input (from the x03 oracle family)
+    assert(row.getLong(0) == 420125604785303607L)
+    // interpreted eval agrees with the codegen'd path
+    val e = graft.expr.SimHash60(
+      org.apache.spark.sql.catalyst.expressions.Literal("hello world test"))
+    assert(e.eval(null) == 420125604785303607L)
+  }
+
   // --- last-10 rolling metric ----------------------------------------------
 
   test("rollingKindStats is the mean of the last 10 rows per kind") {
