@@ -311,9 +311,13 @@ object SparkEntry {
         .orderBy("doc_id", "block_id")
     }),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
-    // processing_times[-10:]; VERDICT r01 missing #4 →
-    // avg over rowsBetween(-9,0); extraction-layer variant:
-    // Pipeline.rollingKindStats)
+    // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
+    // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
+    // variant: StreamingPipeline.rollingStats). Scale note: a rolling
+    // window over a LOW-cardinality key is inherently sequential per key
+    // (order dependence); at 10^12 rows the streaming form is the right
+    // shape — constant state, one pass — while this batch window is for
+    // bounded slices/backfills.
     "x11_rolling_last10" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
         .rowsBetween(-9, Window.currentRow)

@@ -56,6 +56,35 @@ object StreamingPipeline {
       .flatMapGroupsWithState(OutputMode.Update, timeout)(updateKindStats(stateTtl))
   }
 
+  /** Streaming form of the last-10 rolling metric (reference keeps
+    * processing_times[engine][-10:], smartglass_ocr.py:1035-1040): a
+    * ring buffer of the last 10 per-turn costs per payload kind, O(10)
+    * state per key regardless of stream length. Batch form:
+    * Pipeline.rollingKindStats. */
+  final case class RollingStats(payload_kind: String, n_turns: Long, rolling_avg10: Double)
+
+  def rollingStats(results: Dataset[ExtractionResult]): Dataset[RollingStats] = {
+    import results.sparkSession.implicits._
+    results
+      .select($"payload_kind", $"n_chars")
+      .as[(String, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateRolling)
+  }
+
+  private def updateRolling(
+      kind: String,
+      rows: Iterator[(String, Int)],
+      state: GroupState[(Long, Seq[Int])]): Iterator[RollingStats] = {
+    var (n, last10) = state.getOption.getOrElse((0L, Seq.empty[Int]))
+    rows.foreach { case (_, cost) =>
+      n += 1
+      last10 = (last10 :+ cost).takeRight(10) // [-10:] window, smartglass_ocr.py:1040
+    }
+    state.update((n, last10))
+    Iterator.single(RollingStats(kind, n, last10.sum.toDouble / last10.length))
+  }
+
   private def updateKindStats(stateTtl: Option[String])(
       kind: String,
       rows: Iterator[(String, Boolean)],

@@ -62,6 +62,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rolling last-10 state keeps only the final 10 costs per kind") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    // single kind + single-partition batches: per-key arrival order is
+    // deterministic, so the ring-buffer window is exactly checkable
+    def docTurns(n: Int, offset: Int): Seq[Turn] = (0 until n).map { i =>
+      val k = i + offset
+      Turn(f"rconv-$k%04d", 0, "user",
+        s"Rolling window turn $k with some padding text ${"x" * (k % 7)}.",
+        "document", new Timestamp(1700000000000L + k * 60000L))
+    }
+    val q = StreamingPipeline.rollingStats(StreamingPipeline.streamExtract(input.toDS()))
+      .writeStream.format("memory").queryName("rolling_out")
+      .outputMode(OutputMode.Update).start()
+    input.addData(docTurns(18, 0))
+    q.processAllAvailable()
+    input.addData(docTurns(18, 18))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT payload_kind, n_turns, rolling_avg10 FROM rolling_out").collect()
+    val last = rows.maxBy(_.getLong(1))
+    val costs = (docTurns(18, 0) ++ docTurns(18, 18)).map(t => Extractor.extract(t).n_chars)
+    val expect = costs.takeRight(10).sum.toDouble / 10
+    assert(last.getLong(1) == 36L)
+    assert(math.abs(last.getDouble(2) - expect) < 1e-9,
+      s"rolling avg ${last.getDouble(2)} != $expect")
+  }
+
   test("EMA success-rate state folds across micro-batches") {
     val ss = spark
     import ss.implicits._
