@@ -284,6 +284,11 @@ object SparkEntry {
           (col("start_off") + length(col("line"))).as("end_off"), kind.as("kind"))
         .orderBy("doc_id", "pos")
     }),
+    // LSH candidates → exact Jaccard verify: the end-to-end near-dup
+    // pipeline (bucketed candidate generation, exact measure on
+    // candidates only — the 100 TB dedup shape)
+    "x13_jaccard_pairs" -> ((s, dir) =>
+      TrainingOps.jaccardNearDupPairs(s.read.parquet(t(dir, "documents")))),
     // block merge: consecutive non-blank lines fuse into block spans —
     // the text analog of the reference's y-proximity text-region merge
     // (lib/image_processing.py:421-558; SURVEY §2.3 row 2: posexplode +
@@ -751,6 +756,28 @@ object SparkEntry {
         | round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
         |   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 3) AS rolling_avg10
         |FROM events ORDER BY event_type, event_id""".stripMargin,
+    "x13_jaccard_pairs" ->
+      s"""WITH sigs AS (
+         | SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+         |  ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+         | FROM (SELECT doc_id, $normSql AS n FROM documents)),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, mh0 || ':' || mh1 AS key FROM sigs
+         | UNION ALL
+         | SELECT doc_id, 1 AS band, mh2 || ':' || mh3 AS key FROM sigs),
+         |cands AS (
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |sh AS (
+         | SELECT doc_id, list_distinct(${shinglesSql("n")}) AS sh
+         | FROM (SELECT doc_id, $normSql AS n FROM documents))
+         |SELECT id_a, id_b, jaccard FROM (
+         | SELECT id_a, id_b,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
+         |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         | FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     "x12_block_spans" ->
       """WITH lines AS (
         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,

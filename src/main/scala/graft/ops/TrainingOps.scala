@@ -86,6 +86,39 @@ object TrainingOps {
       .orderBy("band", "key")
   }
 
+  /** End-to-end n-gram near-dup: minhash-LSH band candidates verified by
+    * EXACT shingle-set Jaccard — the canonical candidate→verify dedup
+    * pipeline at scale (equi-join on band keys, exact measure only on
+    * co-bucketed pairs; never all-pairs). The shingle sets ride along the
+    * band join; at 100 TB you'd materialize (doc_id, shingles) once and
+    * join candidates back to it. */
+  def jaccardNearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val n = normText(col("text"))
+    val sh = transform(
+      sequence(lit(1), greatest(length(n) - 4, lit(1))),
+      i => substring(n, i.cast("int"), lit(5)))
+    val sigs = minhashSignatures(docs)
+    val bands = sigs.select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band"), concat_ws(":", col("mh0"), col("mh1")).as("key")),
+        struct(lit(1).as("band"), concat_ws(":", col("mh2"), col("mh3")).as("key"))
+      )).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cands = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shingleSets = docs.select(col("doc_id"), array_distinct(sh).as("sh"))
+    cands
+      .join(shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+          / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** SimHash (60-bit) over word tokens. The per-word hash is the first
     * 15 hex digits of md5 (portable: DuckDB computes the identical value,
     * so the signature query has a real SQL oracle; 15 hex = 60 bits keeps
