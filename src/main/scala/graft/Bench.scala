@@ -67,10 +67,16 @@ object Bench {
 
     // --- headline queries at hi parallelism -------------------------------
     val spark = newSession(hi)
+    // q14 (grid cosine pairs) is deliberately NOT in the headline: at the
+    // registered loose threshold (0.45) the candidate set is inherently
+    // close to all-pairs (see TrainingOps.cosineNearDupPairs scale note),
+    // which makes it minutes at sf0.1 — correctness is oracle-gated
+    // instead.
     val headline = Seq(
       "q01_pushdown_agg", "q03_join_nation_revenue", "q05_word_freq",
       "q09_dedup_exact", "q11_minhash_signature", "q13_ann_brute",
-      "q15_lang_id", "q16_quality", "q19_sessionize", "x01_extract_full")
+      "q15_lang_id", "q16_quality", "q19_sessionize",
+      "x01_extract_full", "x03_simhash", "x13_jaccard_pairs")
     val qTimes = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val (_, warm) = time(fn(spark, sfDir).count()) // warm: plan + IO cache
@@ -86,22 +92,21 @@ object Bench {
     // bandwidth, which a real 4N-node cluster would not.
     val lo2 = math.max(lo / 4, 1)
     // best-of-2 timed trials per level: a shared host has transient
-    // background load; min wall time measures engine capability.
-    runExtraction(spark, sfDir, math.max(repl / 8, 1), hi * 2) // JIT warmup
+    // background load; min wall time measures engine capability. The
+    // first trial doubles as the JIT/IO warm-up (the query phase above
+    // already warmed the JVM), keeping total bench wall time bounded.
     val (nHi, tHiA) = runExtraction(spark, sfDir, repl, hi * 2)
     val (_, tHiB) = runExtraction(spark, sfDir, repl, hi * 2)
     val tHi = math.min(tHiA, tHiB)
     spark.stop()
 
     val sparkLo = newSession(lo)
-    runExtraction(sparkLo, sfDir, math.max(repl / 8, 1), lo * 2)
     val (nLo, tLoA) = runExtraction(sparkLo, sfDir, repl, lo * 2)
     val (_, tLoB) = runExtraction(sparkLo, sfDir, repl, lo * 2)
     val tLo = math.min(tLoA, tLoB)
     sparkLo.stop()
 
     val sparkLo2 = newSession(lo2)
-    runExtraction(sparkLo2, sfDir, math.max(repl / 8, 1), lo2 * 2)
     val (nLo2, tLo2A) = runExtraction(sparkLo2, sfDir, repl, lo2 * 2)
     val (_, tLo2B) = runExtraction(sparkLo2, sfDir, repl, lo2 * 2)
     val tLo2 = math.min(tLo2A, tLo2B)

@@ -336,8 +336,9 @@ object SparkEntry {
 
   private val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-  private def shinglesSql(n: String) =
-    s"[substr($n, i, 5) FOR i IN range(1, greatest(len($n)-4, 1)+1)]"
+  private def shinglesSql(n: String) = shinglesKSql(n, 5)
+  private def shinglesKSql(n: String, k: Int) =
+    s"[substr($n, i, $k) FOR i IN range(1, greatest(len($n)-${k - 1}, 1)+1)]"
   private def shingleHashSql =
     "CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT)"
   private def mhSql(i: Int): String = {
@@ -756,28 +757,32 @@ object SparkEntry {
         | round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
         |   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 3) AS rolling_avg10
         |FROM events ORDER BY event_type, event_id""".stripMargin,
-    "x13_jaccard_pairs" ->
+    "x13_jaccard_pairs" -> {
+      val mh = (0 until 8).map { i =>
+        val a = TrainingOps.JacA(i); val b = TrainingOps.JacB(i); val p = TrainingOps.JacP
+        s"list_min([($shingleHashSql * $a + $b) % $p FOR sh IN list_distinct(${shinglesKSql("n", 9)})]) AS m$i"
+      }.mkString(",\n  ")
       s"""WITH sigs AS (
-         | SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
-         |  ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+         | SELECT doc_id, $mh
          | FROM (SELECT doc_id, $normSql AS n FROM documents)),
          |bands AS (
-         | SELECT doc_id, 0 AS band, mh0 || ':' || mh1 AS key FROM sigs
+         | SELECT doc_id, 0 AS band, m0 || ':' || m1 || ':' || m2 || ':' || m3 AS key FROM sigs
          | UNION ALL
-         | SELECT doc_id, 1 AS band, mh2 || ':' || mh3 AS key FROM sigs),
+         | SELECT doc_id, 1 AS band, m4 || ':' || m5 || ':' || m6 || ':' || m7 AS key FROM sigs),
          |cands AS (
          | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          | FROM bands a JOIN bands b
          |   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
          |sh AS (
-         | SELECT doc_id, list_distinct(${shinglesSql("n")}) AS sh
+         | SELECT doc_id, list_distinct(${shinglesKSql("n", 9)}) AS sh
          | FROM (SELECT doc_id, $normSql AS n FROM documents))
          |SELECT id_a, id_b, jaccard FROM (
          | SELECT id_a, id_b,
          |  round(len(list_intersect(a.sh, b.sh)) * 1.0
          |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
          | FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
-         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+    },
     "x12_block_spans" ->
       """WITH lines AS (
         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
