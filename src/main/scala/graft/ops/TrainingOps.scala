@@ -111,13 +111,22 @@ object TrainingOps {
     val sh = transform(
       sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
       i => substring(n, i.cast("int"), lit(k)))
-    val shInts = transform(array_distinct(sh),
-      s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
+    // ONE materialization boundary after the md5 hash array: without it
+    // CollapseProject inlines the shingle+md5 lambda chain into all 8
+    // minhash columns AND both self-join branches AND the verify join —
+    // ~30 interpreted-lambda recomputations per doc (measured 209 s at
+    // sf0.1 vs ~2 s with the boundary; higher-order functions are not
+    // codegen'd). At 100 TB this boundary is a written signature table.
+    val base = docs.select(col("doc_id"), array_distinct(sh).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        transform(col("sh"),
+          s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)).as("hl"))
+      .persist()
     val mhCols = JacA.indices.map { i =>
-      array_min(transform(shInts,
+      array_min(transform(col("hl"),
         x => pmod(x * JacA(i) + JacB(i), lit(JacP)))).as(s"m$i")
     }
-    val sigs = docs.select((col("doc_id") +: mhCols): _*)
+    val sigs = base.select((col("doc_id") +: mhCols): _*)
     val bands = sigs.select(col("doc_id"),
       explode(array(
         struct(lit(0).as("band"),
@@ -130,7 +139,7 @@ object TrainingOps {
       .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val shingleSets = docs.select(col("doc_id"), array_distinct(sh).as("sh"))
+    val shingleSets = base.select(col("doc_id"), col("sh"))
     cands
       .join(shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingleSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -6,8 +6,9 @@ object TimeQ {
       .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (n <- graft.SparkEntry.queries.keys.toSeq.sorted) {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    for (n <- graft.SparkEntry.queries.keys.toSeq.sorted if only.forall(_.contains(n))) {
       val t0 = System.nanoTime()
       try graft.SparkEntry.queries(n)(spark, dir).count()
       catch { case e: Throwable => println(s"$n ERROR ${e.getMessage.take(60)}") }
