@@ -93,6 +93,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rolling avg ${last.getDouble(2)} != $expect")
   }
 
+  test("file-source stream restarts from the checkpoint with state intact") {
+    // the §2.10 resume story for streaming: a real file source + a real
+    // checkpointLocation; the query is stopped and RESTARTED (new query
+    // object, same checkpoint) and the flatMapGroupsWithState counters
+    // must carry over instead of restarting from zero.
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"; val outDir = s"$root/out"
+    def writeBatch(n: Int, offset: Int): Unit =
+      spark.createDataset(turns(n, offset)).repartition(1)
+        .write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Turn].schema)
+        .parquet(inDir).as[Turn]
+      val q = StreamingPipeline.emaStats(StreamingPipeline.streamExtract(src))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingPipeline.KindStats], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeBatch(15, 0)
+    runOnce()
+    writeBatch(15, 15) // arrives while no query is running
+    runOnce() // RESTART: fresh query object, same checkpoint
+    val rows = spark.read.parquet(outDir)
+      .select("payload_kind", "n_turns").collect()
+    val last = rows.groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).max }
+    val expected = turns(30).groupBy(t => graft.model.PayloadKind.fromTool(t.tool))
+      .map { case (k, ts) => k -> ts.length.toLong }
+    for ((kind, n) <- expected)
+      assert(last.get(kind).contains(n),
+        s"state for $kind lost across restart: got ${last.get(kind)}, want $n")
+  }
+
   test("EMA success-rate state folds across micro-batches") {
     val ss = spark
     import ss.implicits._
