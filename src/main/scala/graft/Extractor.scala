@@ -96,6 +96,10 @@ object Extractor extends Serializable {
       tool = turn.tool,
       ts = turn.ts,
       payload_kind = kind,
+      // tool drives dispatch; the feature-scored classification is carried
+      // for metrics (SURVEY §2.3 image-type argmax, the transcript analog
+      // of classifying the image before processing)
+      payload_kind_scored = graft.lib.Classify.classifyPayloadKind(raw)._1,
       processing_strategy = graft.lib.Classify.processingStrategy(kind),
       status = status,
       text = textClean,

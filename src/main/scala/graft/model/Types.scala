@@ -82,7 +82,8 @@ final case class ExtractionResult(
     role: String,
     tool: String,
     ts: Timestamp,
-    payload_kind: String,
+    payload_kind: String, // tool-driven dispatch kind
+    payload_kind_scored: String, // feature-scored argmax classification [STR]
     processing_strategy: String, // ImageType→strategy map (SURVEY §2.3)
     status: String,
     text: String, // clean_response_text(formatted_text)

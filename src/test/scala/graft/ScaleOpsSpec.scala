@@ -171,6 +171,30 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.eval(null) == 420125604785303607L)
   }
 
+  test("pipeline carries the feature-scored payload kind") {
+    val turns = Pipeline.turnsFromDocuments(spark, sfSmall).limit(30).collect()
+    val results = Pipeline.extractTurns(
+      spark.createDataset(turns.toIndexedSeq)(org.apache.spark.sql.Encoders.product)).collect()
+    val rawByKey = turns.map(t => ((t.conv_id, t.turn_idx), t.text)).toMap
+    assert(results.nonEmpty)
+    for (r <- results) {
+      val expect = graft.lib.Classify.classifyPayloadKind(rawByKey((r.conv_id, r.turn_idx)))._1
+      assert(r.payload_kind_scored == expect,
+        s"${r.conv_id}/${r.turn_idx}: ${r.payload_kind_scored} != $expect")
+    }
+    // the synthetic docs are single-line prose, so the faithful argmax is
+    // "mixed" (<50 → MIXED) for all of them; structured payloads must
+    // come out non-mixed end-to-end:
+    val structured = Seq(
+      ("table", (1 to 12).map(_ => "a1  |  b2").mkString("\n")),
+      ("signage", "BIG SALE!!\nBUY NOW!!"))
+    val ts = new java.sql.Timestamp(0)
+    for ((want, text) <- structured) {
+      val r = Extractor.extract(graft.model.Turn("c", 0, "user", text, "plain", ts))
+      assert(r.payload_kind_scored == want, s"$want text scored ${r.payload_kind_scored}")
+    }
+  }
+
   // --- last-10 rolling metric ----------------------------------------------
 
   test("rollingKindStats is the mean of the last 10 rows per kind") {
