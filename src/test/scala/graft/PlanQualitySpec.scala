@@ -91,6 +91,14 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"simhash aggregate leaked into a Filter:\n$filterLines")
   }
 
+  test("x13: jaccard pipeline reads the cached signature table, no cross join") {
+    val p = plan("x13_jaccard_pairs")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the persisted hash-array table behind the band join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"x13 must stay an equi-join pipeline:\n$p")
+  }
+
   test("x02: metrics never reads the fat text column") {
     val df = SparkEntry.queries("x02_extract_metrics")(spark, sfDir)
     // The extraction stage necessarily reads text, but the metrics
