@@ -121,6 +121,39 @@ object Extractor extends Serializable {
       n_tokens = tokens)
   }
 
+  /** Poison-turn guard for the job path: at 10^12 turns one pathological
+    * payload must not fail the task (and, after retries, the job). The
+    * reference catches per-request exceptions and returns
+    * {"status": "error", "message": ...} (app/api/routes.py:311-329,
+    * lib/smartglass_ocr.py:655-661) — this is the per-turn analog: the
+    * error row carries the diagnostic in structured_fields and flows to
+    * the same sink/metrics, so failures are visible, counted, and
+    * re-processable via the resume anti-join after a fix. */
+  def extractSafe(turn: Turn): ExtractionResult = extractSafeWith(extract)(turn)
+
+  private[graft] def extractSafeWith(f: Turn => ExtractionResult)(turn: Turn): ExtractionResult =
+    try f(turn)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val kind = PayloadKind.fromTool(turn.tool)
+        ExtractionResult(
+          conv_id = turn.conv_id, turn_idx = turn.turn_idx, role = turn.role,
+          tool = turn.tool, ts = turn.ts,
+          payload_kind = kind,
+          payload_kind_scored = PayloadKind.Mixed,
+          processing_strategy = graft.lib.Classify.processingStrategy(kind),
+          status = "error", // smartglass_ocr.py:658 error-result status
+          text = "", formatted_text = "", confidence = 0.0,
+          detected_language = "unknown", document_structure = null,
+          summary = "", key_insights = null,
+          structured_kind = null,
+          structured_fields = Map(
+            "error" -> s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}"),
+          structured_items = null, structured_headers = null, structured_rows = null,
+          confidence_level = confidenceLevel(0.0),
+          markdown = "", spans = Seq.empty, n_chars = 0, n_tokens = 0)
+    }
+
   /** information_extraction.py:621-642. */
   def confidenceLevel(confidence: Double): String =
     if (confidence >= 90) "Very High"

@@ -58,14 +58,21 @@ object Pipeline {
   }
 
   /** The core distributed stage. `numPartitions <= 0` keeps the incoming
-    * partitioning (no shuffle — extraction itself never needs one). */
-  def extractTurns(turns: Dataset[Turn], numPartitions: Int = -1): Dataset[ExtractionResult] = {
+    * partitioning (no shuffle — extraction itself never needs one).
+    * `safe = true` (the job-main path) wraps each turn in the reference's
+    * per-request error handling (status="error" rows instead of task
+    * failure — Extractor.extractSafe); tests and parity checks use the
+    * strict path so an unexpected throw is loud, not masked. */
+  def extractTurns(turns: Dataset[Turn], numPartitions: Int = -1,
+                   safe: Boolean = false): Dataset[ExtractionResult] = {
     import turns.sparkSession.implicits._
     val repart =
       if (numPartitions > 0)
         turns.repartition(numPartitions, col("conv_id"), pmod(hash(col("turn_idx")), lit(Salt)))
       else turns
-    repart.mapPartitions(_.map(Extractor.extract))
+    val f: Turn => ExtractionResult =
+      if (safe) Extractor.extractSafe else Extractor.extract
+    repart.mapPartitions(_.map(f))
   }
 
   /** Sink with per-partition lineage (SURVEY.md §7.1.7). ONE pass:

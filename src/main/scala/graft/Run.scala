@@ -53,7 +53,9 @@ object Run {
       else Pipeline.turnsSchemaDf(spark, input)
 
     val turns = if (resume) Pipeline.resume(spark, allTurns, outDir) else allTurns
-    val results = Pipeline.extractTurns(turns, partitions)
+    // job path runs with the poison-turn guard: a pathological payload
+    // becomes a status="error" row, not a 4x-retried task failure
+    val results = Pipeline.extractTurns(turns, partitions, safe = true)
     if (resume) Pipeline.appendResults(results, outDir)
     else Pipeline.writeResults(results, outDir)
 

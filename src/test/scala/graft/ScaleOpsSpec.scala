@@ -195,6 +195,22 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --- poison-turn guard -----------------------------------------------------
+
+  test("extractSafe turns a throwing payload into an error row, not a task failure") {
+    val turn = graft.model.Turn("c", 7, "user", "boom", "plain",
+      new java.sql.Timestamp(1700000000000L))
+    val boom: graft.model.Turn => graft.model.ExtractionResult =
+      _ => throw new IllegalStateException("synthetic decode failure")
+    val r = Extractor.extractSafeWith(boom)(turn)
+    assert(r.status == "error" && r.conv_id == "c" && r.turn_idx == 7)
+    assert(r.structured_fields("error").contains("synthetic decode failure"))
+    assert(r.n_chars == 0 && r.spans.isEmpty)
+    // pass-through on the happy path: identical to the strict extractor
+    val ok = Extractor.extractSafe(turn)
+    assert(ok == Extractor.extract(turn))
+  }
+
   // --- last-10 rolling metric ----------------------------------------------
 
   test("rollingKindStats is the mean of the last 10 rows per kind") {
