@@ -289,6 +289,11 @@ object SparkEntry {
     // candidates only — the 100 TB dedup shape)
     "x13_jaccard_pairs" -> ((s, dir) =>
       TrainingOps.jaccardNearDupPairs(s.read.parquet(t(dir, "documents")))),
+    // connected components over the near-dup graph → dedup groups with
+    // a canonical (min-id) doc per component; iterative min-label
+    // propagation (the one iterative-algorithm shape in the inventory)
+    "x14_dup_components" -> ((s, dir) =>
+      TrainingOps.dupComponents(s.read.parquet(t(dir, "documents")))),
     // block merge: consecutive non-blank lines fuse into block spans —
     // the text analog of the reference's y-proximity text-region merge
     // (lib/image_processing.py:421-558; SURVEY §2.3 row 2: posexplode +
@@ -502,6 +507,34 @@ object SparkEntry {
        |                 WHEN s_tab > 70 THEN s_tab
        |                 ELSE bs END * 100, 0) AS BIGINT) AS score_c
        |FROM B ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared CTE chain for the x13/x14 near-dup family: 9-gram shingles,
+    * 8-perm minhash, 4-row bands, exact Jaccard on candidates. */
+  private def jaccardCoreCtes: String = {
+    val mh = (0 until 8).map { i =>
+      val a = TrainingOps.JacA(i); val b = TrainingOps.JacB(i); val p = TrainingOps.JacP
+      s"list_min([($shingleHashSql * $a + $b) % $p FOR sh IN list_distinct(${shinglesKSql("n", 9)})]) AS m$i"
+    }.mkString(",\n  ")
+    s"""sigs AS (
+       | SELECT doc_id, $mh
+       | FROM (SELECT doc_id, $normSql AS n FROM documents)),
+       |bands AS (
+       | SELECT doc_id, 0 AS band, m0 || ':' || m1 || ':' || m2 || ':' || m3 AS key FROM sigs
+       | UNION ALL
+       | SELECT doc_id, 1 AS band, m4 || ':' || m5 || ':' || m6 || ':' || m7 AS key FROM sigs),
+       |cands AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sh AS (
+       | SELECT doc_id, list_distinct(${shinglesKSql("n", 9)}) AS sh
+       | FROM (SELECT doc_id, $normSql AS n FROM documents)),
+       |jac AS (
+       | SELECT id_a, id_b,
+       |  round(len(list_intersect(a.sh, b.sh)) * 1.0
+       |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+       | FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)""".stripMargin
   }
 
   private def langIdSql: String = {
@@ -757,32 +790,23 @@ object SparkEntry {
         | round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
         |   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 3) AS rolling_avg10
         |FROM events ORDER BY event_type, event_id""".stripMargin,
-    "x13_jaccard_pairs" -> {
-      val mh = (0 until 8).map { i =>
-        val a = TrainingOps.JacA(i); val b = TrainingOps.JacB(i); val p = TrainingOps.JacP
-        s"list_min([($shingleHashSql * $a + $b) % $p FOR sh IN list_distinct(${shinglesKSql("n", 9)})]) AS m$i"
-      }.mkString(",\n  ")
-      s"""WITH sigs AS (
-         | SELECT doc_id, $mh
-         | FROM (SELECT doc_id, $normSql AS n FROM documents)),
-         |bands AS (
-         | SELECT doc_id, 0 AS band, m0 || ':' || m1 || ':' || m2 || ':' || m3 AS key FROM sigs
-         | UNION ALL
-         | SELECT doc_id, 1 AS band, m4 || ':' || m5 || ':' || m6 || ':' || m7 AS key FROM sigs),
-         |cands AS (
-         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         | FROM bands a JOIN bands b
-         |   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |sh AS (
-         | SELECT doc_id, list_distinct(${shinglesKSql("n", 9)}) AS sh
-         | FROM (SELECT doc_id, $normSql AS n FROM documents))
-         |SELECT id_a, id_b, jaccard FROM (
-         | SELECT id_a, id_b,
-         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
-         |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-         | FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
-         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
-    },
+    "x13_jaccard_pairs" ->
+      s"""WITH $jaccardCoreCtes
+         |SELECT id_a, id_b, jaccard FROM jac
+         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "x14_dup_components" ->
+      s"""WITH RECURSIVE $jaccardCoreCtes,
+         |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (
+         | SELECT id_a AS a, id_b AS b FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+         | UNION
+         | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT comp AS component, count(*) AS n_docs, max(id) AS max_doc FROM (
+         | SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+         |GROUP BY comp ORDER BY component""".stripMargin,
     "x12_block_spans" ->
       """WITH lines AS (
         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,

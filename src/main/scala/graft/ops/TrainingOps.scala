@@ -150,6 +150,43 @@ object TrainingOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicate components: connected components over the near-dup pair
+    * graph, labeling every member with the smallest doc_id reachable —
+    * the canonical-document selection step that turns pairwise near-dups
+    * into dedup groups. Implemented as iterative min-label propagation
+    * (each round: comp' = min(comp, min over neighbors' comp); driver
+    * loop with localCheckpoint per round to cut lineage) — converges in
+    * O(diameter) rounds; the 100 TB upgrade is the large-star/small-star
+    * variant of the same joins. Components here are tiny (near-dup
+    * clusters), so rounds ≈ 2-3. */
+  def dupComponents(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = jaccardNearDupPairs(docs, threshold).select("id_a", "id_b")
+    val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("id_b"), col("comp").as("ncomp")), Seq("id_b"))
+        .groupBy(col("id_a").as("id"))
+        .agg(min("ncomp").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          (col("nmin") < col("comp")).as("chg"))
+        .localCheckpoint()
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select("id", "comp")
+      rounds += 1
+    }
+    labels.groupBy("comp")
+      .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
+      .select(col("comp").as("component"), col("n_docs"), col("max_doc"))
+      .orderBy("component")
+  }
+
   /** SimHash (60-bit) over word tokens. The per-word hash is the first
     * 15 hex digits of md5 (portable: DuckDB computes the identical value,
     * so the signature query has a real SQL oracle; 15 hex = 60 bits keeps
