@@ -25,12 +25,21 @@ object Classify {
     "nik", "ktp", "provinsi", "kabupaten", "kecamatan",
     "agama", "status perkawinan", "kewarganegaraan")
 
-  /** smartglass_ocr.py:895-901 — the text half of _check_if_id_card. */
-  def idCardProbe(text: String): Boolean = {
-    if (text == null) return false
-    val tl = lower(text)
-    idKeywords.count(tl.contains) >= 2
+  /** keyword-count >= n with early exit (same value as count(..) >= n,
+    * which the generated oracle SQL mirrors as a full CASE sum). */
+  private def hasAtLeast(tl: String, words: Vector[String], n: Int): Boolean = {
+    var c = 0
+    var i = 0
+    while (i < words.length && c < n) {
+      if (tl.contains(words(i))) c += 1
+      i += 1
+    }
+    c >= n
   }
+
+  /** smartglass_ocr.py:895-901 — the text half of _check_if_id_card. */
+  def idCardProbe(text: String): Boolean =
+    text != null && hasAtLeast(lower(text), idKeywords, 2)
 
   val receiptKeywords = Vector(
     "total", "subtotal", "cash", "change", "tax", "amount",
@@ -39,11 +48,8 @@ object Classify {
     "pembayaran", "diskon", "tanggal", "waktu")
 
   /** routes.py:466-474 — the text half of the receipt probe. */
-  def receiptProbe(text: String): Boolean = {
-    if (text == null) return false
-    val tl = lower(text)
-    receiptKeywords.count(tl.contains) >= 2
-  }
+  def receiptProbe(text: String): Boolean =
+    text != null && hasAtLeast(lower(text), receiptKeywords, 2)
 
   val promoWords = Vector("beli", "diskon", "gratis", "promo", "sale",
     "discount", "free", "special", "offer", "limited", "new", "buy")
@@ -240,6 +246,9 @@ object Classify {
     * (SparkEntry x09) — keep formula order identical on both sides. */
   def classifyPayloadKind(text: String): (String, Double) = {
     val st = payloadStats(text)
+    val tl = if (text == null) "" else lower(text) // one lowercase pass for both probes
+    val idp = hasAtLeast(tl, idKeywords, 2)
+    val rcp = hasAtLeast(tl, receiptKeywords, 2)
     val tableScore = st.table_likelihood * 100.0 // ref :937 scores[TABLE]=table_likelihood
     val formScore = st.form_likelihood * 100.0 // ref :888 scores[FORM]=form_likelihood
     // signage (:796-827): accumulated feature bonuses
@@ -251,10 +260,10 @@ object Classify {
     if (st.digit_density < 0.05) signageScore += 10 // brightness analog
     // id card (:831-838): probe + form-layout bonus
     val idScore =
-      if (idCardProbe(text)) 80.0 + (if (formScore > 50) 20.0 else 0.0) else 0.0
+      if (idp) 80.0 + (if (formScore > 50) 20.0 else 0.0) else 0.0
     // receipt (:841-846): probe + aligned-field bonus
     val receiptScore =
-      if (receiptProbe(text)) 70.0 + (if (formScore > 30) 30.0 else 0.0) else 0.0
+      if (rcp) 70.0 + (if (formScore > 30) 30.0 else 0.0) else 0.0
     // document (:849-857): long multi-line prose
     val documentScore =
       if (st.n_lines > 10 && st.avg_line_len > 40)

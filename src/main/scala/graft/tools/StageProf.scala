@@ -29,6 +29,7 @@ object StageProf {
     bench("structureDetect")(t => Formatters.detectDocumentStructure(t))
     bench("cleanResponse")(t => TextCorrections.cleanResponseText(t))
     bench("spans")(t => Spans.lineSpans(t))
+    bench("classifyKind")(t => Classify.classifyPayloadKind(t))
     bench("markdown")(t => Markdown.render(
       filename = "c_0", ts = new Timestamp(0), status = "success",
       formattedText = t, confidence = 100.0, detectedLanguage = "en",
