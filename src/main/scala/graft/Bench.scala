@@ -91,26 +91,29 @@ object Bench {
     // single-box saturation curve: 32 threads share one socket's
     // bandwidth, which a real 4N-node cluster would not.
     val lo2 = math.max(lo / 4, 1)
-    // best-of-2 timed trials per level: a shared host has transient
-    // background load; min wall time measures engine capability. The
-    // first trial doubles as the JIT/IO warm-up (the query phase above
-    // already warmed the JVM), keeping total bench wall time bounded.
-    val (nHi, tHiA) = runExtraction(spark, sfDir, repl, hi * 2)
-    val (_, tHiB) = runExtraction(spark, sfDir, repl, hi * 2)
-    val tHi = math.min(tHiA, tHiB)
     spark.stop()
-
-    val sparkLo = newSession(lo)
-    val (nLo, tLoA) = runExtraction(sparkLo, sfDir, repl, lo * 2)
-    val (_, tLoB) = runExtraction(sparkLo, sfDir, repl, lo * 2)
-    val tLo = math.min(tLoA, tLoB)
-    sparkLo.stop()
-
-    val sparkLo2 = newSession(lo2)
-    val (nLo2, tLo2A) = runExtraction(sparkLo2, sfDir, repl, lo2 * 2)
-    val (_, tLo2B) = runExtraction(sparkLo2, sfDir, repl, lo2 * 2)
-    val tLo2 = math.min(tLo2A, tLo2B)
-    sparkLo2.stop()
+    // best-of-2 timed trials per level, INTERLEAVED across rounds: the
+    // three levels used to run minutes apart, so a transient load spike
+    // hit one level only and skewed the efficiency ratio (observed
+    // 0.61-0.92 across otherwise-identical runs). Cycling
+    // hi→mid→lo per round puts every level under comparable conditions;
+    // min-of-rounds still measures engine capability. Sessions share
+    // the JVM, so JIT stays warm across session restarts (round 1 also
+    // serves as the warm-up; the query phase above warmed the JVM).
+    val levels = Seq(hi, lo, lo2)
+    val best = scala.collection.mutable.Map.empty[Int, (Long, Double)]
+    for (_ <- 1 to 2; cores <- levels) {
+      val s = newSession(cores)
+      val (n, t) = runExtraction(s, sfDir, repl, cores * 2)
+      s.stop()
+      best.get(cores) match {
+        case Some((_, t0)) if t0 <= t => ()
+        case _ => best(cores) = (n, t)
+      }
+    }
+    val (nHi, tHi) = best(hi)
+    val (nLo, tLo) = best(lo)
+    val (nLo2, tLo2) = best(lo2)
 
     val thrHi = nHi / tHi
     val thrLo = nLo / tLo
