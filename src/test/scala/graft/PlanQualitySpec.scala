@@ -122,6 +122,41 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n <= 1, s"expected exactly one Exchange, got $n:\n$p")
   }
 
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    // the 100 TB lever for repeated equi-joins on the same key (results
+    // joined back to signatures/goldens by doc key): bucket both sides
+    // at write time and the join needs no shuffle at all.
+    // default warehouse = ./spark-warehouse (gitignored); stale dirs from
+    // a previous in-memory catalog survive the DROP, so clear them too
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_stats")
+    for (t <- Seq("b_docs", "b_stats")) {
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select("doc_id", "text")
+      .write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("b_docs")
+    docs.selectExpr("doc_id", "length(text) AS n_chars")
+      .write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("b_stats")
+    // force the sort-merge path (tiny test tables would auto-broadcast,
+    // which hides the bucketing guarantee this asserts)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_docs").join(spark.table("b_stats"), "doc_id")
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(joined.count() == docs.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("resume anti-join keeps only un-extracted keys") {
     val ss = spark
     import ss.implicits._
