@@ -265,10 +265,16 @@ object InfoExtract {
     // Column-start evolution replicated literally, including the in-place
     // averaging against the closest existing start
     // (information_extraction.py:445-469).
+    // All positions/lengths/slices below are CODE POINTS: Python indexes
+    // strings by code point, and astral chars (which reach here when the
+    // len<=10 gate skips the BMP filter) occupy two UTF-16 units — raw
+    // Matcher offsets would shift every column boundary (caught by a
+    // 100k-turn parity blast: one ':\n𝔸𝕭 1.' turn built phantom columns).
     val columnStarts = scala.collection.mutable.ArrayBuffer.empty[Int]
     val maxRows = math.min(5, nonEmpty.length)
     for (i <- 0 until maxRows) {
-      val positions = finditer(pWord, nonEmpty(i)).map(_.start)
+      val line = nonEmpty(i)
+      val positions = finditer(pWord, line).map(m => line.codePointCount(0, m.start))
       if (i == 0) columnStarts ++= positions
       else {
         val merged = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -290,7 +296,7 @@ object InfoExtract {
     val headers = Vector.newBuilder[String]
     for (i <- columnStarts.indices) {
       val start = columnStarts(i)
-      val end = if (i < columnStarts.length - 1) columnStarts(i + 1) else headerLine.length
+      val end = if (i < columnStarts.length - 1) columnStarts(i + 1) else Py.len(headerLine)
       val h = strip(sliceRange(headerLine, start, end))
       if (h.nonEmpty) headers += h
     }
@@ -304,8 +310,8 @@ object InfoExtract {
       val values = Vector.newBuilder[String]
       for (j <- columnStarts.indices) {
         val start = columnStarts(j)
-        val end = if (j < columnStarts.length - 1) columnStarts(j + 1) else row.length
-        if (start < row.length) values += strip(sliceRange(row, start, end))
+        val end = if (j < columnStarts.length - 1) columnStarts(j + 1) else Py.len(row)
+        if (start < Py.len(row)) values += strip(sliceRange(row, start, end))
         else values += ""
       }
       val vs = values.result()
@@ -316,11 +322,12 @@ object InfoExtract {
     OrderedInfo("table", Vector.empty, Vector.empty, hs, rows.result())
   }
 
-  /** Python slice s[a:b] with clamping. */
+  /** Python slice s[a:b] with clamping — indices are CODE POINTS. */
   private def sliceRange(s: String, a: Int, b: Int): String = {
-    val from = math.max(0, math.min(a, s.length))
-    val to = math.max(from, math.min(b, s.length))
-    s.substring(from, to)
+    val n = Py.len(s)
+    val from = math.max(0, math.min(a, n))
+    val to = math.max(from, math.min(b, n))
+    s.substring(s.offsetByCodePoints(0, from), s.offsetByCodePoints(0, to))
   }
 
   // --- extract_generic_info (:530-562) ---------------------------------------

@@ -195,6 +195,22 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("astral chars in short payloads keep code-point column offsets (100k-blast regression)") {
+    // ': \n𝔸𝕭 1. ' — 9 code points, so the len>10 gate skips the BMP
+    // filter and the astral chars reach the space-delimited table
+    // extractor. Python merges the word positions into a single start
+    // inside the header (→ empty headers); UTF-16 offsets would keep two
+    // phantom columns. Reference-verified expected: empty table.
+    val text = ": \n𝔸𝕭 1. "
+    val r = Extractor.extract(graft.model.Turn("c", 0, "u", text, "table",
+      new java.sql.Timestamp(0)))
+    assert(r.structured_kind == "table", r.structured_kind)
+    assert(r.structured_headers != null && r.structured_headers.isEmpty,
+      s"expected empty headers, got ${r.structured_headers}")
+    assert(r.structured_rows != null && r.structured_rows.isEmpty,
+      s"expected empty rows, got ${r.structured_rows}")
+  }
+
   // --- poison-turn guard -----------------------------------------------------
 
   test("extractSafe turns a throwing payload into an error row, not a task failure") {
