@@ -76,7 +76,10 @@ object Bench {
       "q01_pushdown_agg", "q03_join_nation_revenue", "q05_word_freq",
       "q09_dedup_exact", "q11_minhash_signature", "q13_ann_brute",
       "q15_lang_id", "q16_quality", "q19_sessionize",
-      "x01_extract_full", "x03_simhash", "x13_jaccard_pairs")
+      "x01_extract_full", "x03_simhash",
+      // the full dedup pipeline family, so regressions there are caught
+      // by the driver's BENCH diff (round-2 VERDICT next #8)
+      "x06_simhash_pairs", "x13_jaccard_pairs", "x14_dup_components")
     val qTimes = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val (_, warm) = time(fn(spark, sfDir).count()) // warm: plan + IO cache

@@ -138,8 +138,13 @@ object Pipeline {
     val lineageRows: Seq[Lineage] =
       scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq
     spark.createDataset(lineageRows).write.mode(mode).parquet(s"$outDir/lineage")
-    metrics(spark.read.parquet(s"$outDir/results").as[ExtractionResult])
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics")
+    val committed = spark.read.parquet(s"$outDir/results").as[ExtractionResult]
+    metrics(committed).write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics")
+    // ship the reference's full stats surface in the job artifact, not
+    // only in specs (smartglass_ocr.py:1022-1075 keeps the last-10
+    // rolling window per type alongside the cumulative aggregates)
+    rollingKindStats(committed)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics_rolling")
   }
 
   /** Corpus-level metrics [STR] — the reference's processing-stats
@@ -183,6 +188,17 @@ object Pipeline {
     val resultsPath = new org.apache.hadoop.fs.Path(s"$outDir/results")
     val fs = resultsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(resultsPath)) return turns
+    // A job SIGKILLed during its FIRST write leaves results/ holding only
+    // _temporary (no committed part files): that is still a fresh run —
+    // read.parquet on it would fail with a misleading schema-inference
+    // error and --resume could never recover (ADVICE r02). Committed =
+    // at least one non-hidden data file; the stale _temporary itself is
+    // purged later by appendResults before the append commit.
+    val committed = fs.listStatus(resultsPath).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!committed) return turns
     val done = spark.read.parquet(s"$outDir/results").select("conv_id", "turn_idx")
     turns.join(done, Seq("conv_id", "turn_idx"), "left_anti").as[Turn]
   }

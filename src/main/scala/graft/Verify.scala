@@ -22,6 +22,19 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // q14 pruning telemetry ("no silent caps"): candidate comparisons the
+    // grid epsilon-join performs at the registered threshold vs brute
+    // force — makes operating-point regressions measurable across rounds.
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n = emb.count()
+      val brute = n * (n - 1) / 2
+      val cands = graft.ops.TrainingOps.gridCandidateCount(emb, 0.45)
+      println(f"[verify] q14 grid candidates at t=0.45: $cands of $brute brute pairs " +
+        f"(ratio ${cands.toDouble / math.max(brute, 1)}%.3f, n=$n)")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] q14 telemetry failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

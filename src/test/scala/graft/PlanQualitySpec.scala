@@ -81,22 +81,78 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q21 must not cross-join at scale:\n$p")
   }
 
+  test("q21: at scale the gram join is a shuffled join with the unexploded side as build side") {
+    // pin the 100× shape (round-2 VERDICT "What's wrong" #3): with
+    // auto-broadcast off (as it would be at real sizes) the gram join
+    // must be a shuffled equi-join, and with hash joins allowed the
+    // build side must be the SMALLER, UNEXPLODED prefix side (a), not
+    // the ~20×-exploded gram side (b).
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p1 = plan("q21_containment_join")
+      assert(!p1.contains("BroadcastNestedLoopJoin") && !p1.contains("CartesianProduct")
+        && !p1.contains("BroadcastHashJoin"),
+        s"q21 with broadcast disabled must shuffle, not broadcast:\n$p1")
+      val joinLine = p1.linesIterator.find(_.contains("ShuffledHashJoin")).getOrElse("")
+      assert(joinLine.contains("ShuffledHashJoin"),
+        s"expected ShuffledHashJoin (shuffle_hash hint on the prefix side):\n$p1")
+      assert(joinLine.contains("BuildLeft"),
+        s"hash build side must be the unexploded prefix side (left):\n$joinLine\n$p1")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("x06: simhash signatures compute once behind a materialization boundary") {
-    val p = plan("x06_simhash_pairs")
-    assert(p.contains("InMemoryTableScan"),
-      s"expected the persisted signature table on both join sides:\n$p")
-    // the expensive fingerprint aggregate must not be inlined into a Filter
-    val filterLines = p.linesIterator.filter(_.trim.startsWith("+- Filter")).mkString("\n")
-    assert(!filterLines.contains("aggregate("),
-      s"simhash aggregate leaked into a Filter:\n$filterLines")
+    // inspect the LAZY plan (the public operator materializes it eagerly
+    // and then releases the cache — round-3 unpersist fix)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (df, bands) = graft.ops.TrainingOps.simhashNearDupPairsPlan(docs)
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.contains("InMemoryTableScan"),
+        s"expected the persisted signature table on both join sides:\n$p")
+      // the expensive fingerprint aggregate must not be inlined into a Filter
+      val filterLines = p.linesIterator.filter(_.trim.startsWith("+- Filter")).mkString("\n")
+      assert(!filterLines.contains("aggregate("),
+        s"simhash aggregate leaked into a Filter:\n$filterLines")
+    } finally bands.unpersist()
   }
 
   test("x13: jaccard pipeline reads the cached signature table, no cross join") {
-    val p = plan("x13_jaccard_pairs")
-    assert(p.contains("InMemoryTableScan"),
-      s"expected the persisted hash-array table behind the band join:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"x13 must stay an equi-join pipeline:\n$p")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (df, base) = graft.ops.TrainingOps.jaccardNearDupPairsPlan(docs)
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.contains("InMemoryTableScan"),
+        s"expected the persisted hash-array table behind the band join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"x13 must stay an equi-join pipeline:\n$p")
+    } finally base.unpersist()
+  }
+
+  test("x06/x13/x14: caches are released after the result materializes") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def cachedRdds(): Int =
+      spark.sparkContext.getPersistentRDDs.size
+    // run each operator end-to-end; afterwards the only persistent RDDs
+    // allowed to remain are the (tiny, ContextCleaner-GC'd) localCheckpoint
+    // results — the big signature/band/edge caches must be gone. We assert
+    // by delta: each call may add at most its own small checkpoint blocks,
+    // not a monotonically growing cache (the round-2 leak re-ran Verify
+    // twice and hit "already cached" WARNs).
+    val before = cachedRdds()
+    graft.ops.TrainingOps.simhashNearDupPairs(docs).count()
+    graft.ops.TrainingOps.jaccardNearDupPairs(docs).count()
+    graft.ops.TrainingOps.dupComponents(docs).count()
+    val mid = cachedRdds()
+    graft.ops.TrainingOps.simhashNearDupPairs(docs).count()
+    graft.ops.TrainingOps.jaccardNearDupPairs(docs).count()
+    graft.ops.TrainingOps.dupComponents(docs).count()
+    System.gc() // let ContextCleaner reap the unreferenced checkpoints
+    Thread.sleep(500)
+    val after = cachedRdds()
+    assert(after <= mid + 3,
+      s"persistent RDDs grow across invocations: before=$before mid=$mid after=$after")
   }
 
   test("x02: metrics never reads the fat text column") {

@@ -57,6 +57,97 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("grid candidates never exceed brute force, even on isotropic data (round-2 weak fix)") {
+    // The sf embeddings are isotropic 64-dim noise (max pairwise sim
+    // 0.513, coords spread ±0.4 « eps≈1.0 at the registered t=0.45) — the
+    // regime where NO exact method can prune and the old full-3^k
+    // replication did ~3.4× brute-force comparisons. The half-neighborhood
+    // pairing must degrade to AT MOST brute force there.
+    val emb = spark.read.parquet(s"$sfMid/embeddings.parquet")
+    val n = emb.count()
+    val brute = n * (n - 1) / 2
+    val cands = TrainingOps.gridCandidateCount(emb, 0.45)
+    assert(cands <= brute, s"grid candidates $cands > brute $brute at t=0.45")
+  }
+
+  test("grid join prunes hard on clustered embeddings at a production near-dup threshold") {
+    // Planted clusters (the shape of real embedding corpora): 6 centers
+    // = ±e1/±e2/±e3, members = center + small deterministic noise. At
+    // t=0.9 (eps≈0.45) the grid separates the clusters and candidates
+    // collapse to ~within-cluster pairs — the pruning argument the plan
+    // claims, proven at the operating point it claims it for.
+    val ss = spark
+    import ss.implicits._
+    val dims = 8
+    val nPer = 50
+    val centers = Seq(
+      Array(1.0, 0, 0), Array(-1.0, 0, 0),
+      Array(0, 1.0, 0), Array(0, -1.0, 0),
+      Array(0, 0, 1.0), Array(0, 0, -1.0))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until nPer
+    } yield {
+      val v = Array.tabulate(dims) { d =>
+        val base = if (d < 3) c(d) else 0.0
+        base + 0.05 * math.sin((ci * 131 + j * 17 + d * 7).toDouble)
+      }
+      ((ci * nPer + j).toLong, v.map(_.toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val n = rows.size.toLong
+    val brute = n * (n - 1) / 2
+    val cands = TrainingOps.gridCandidateCount(emb, 0.9)
+    assert(cands < brute / 4,
+      s"expected >4x pruning on clustered data: candidates=$cands brute=$brute")
+    // and the join stays EXACT there: equals brute force at t=0.9
+    val vecs = rows.map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      s = math.round(cos(vecs(i)._2, vecs(j)._2) * 1000) / 1000.0
+      if s >= 0.9
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(expected.nonEmpty, "planted clusters must contain true near-dups")
+    val got = TrainingOps.cosineNearDupPairs(emb, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missed ${(expected -- got).take(5)} / extra ${(got -- expected).take(5)}")
+  }
+
+  // --- connected components: star contraction ≡ min-label propagation -------
+
+  test("connectedComponentsStar equals labelPropagationComponents on adversarial graphs") {
+    val ss = spark
+    import ss.implicits._
+    def compsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (1) long path (diameter stress — the case star contraction exists for),
+    // (2) two stars bridged at one node, (3) disjoint pairs + a triangle
+    val graphs = Seq(
+      (1L to 29L).map(i => (i, i + 1)),
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (200L, 201L), (200L, 202L), (103L, 200L)),
+      Seq((1L, 2L), (3L, 4L), (10L, 11L), (11L, 12L), (12L, 10L)))
+    for (g <- graphs) {
+      val pairs = g.toDF("id_a", "id_b")
+      val viaLabels = compsOf(TrainingOps.labelPropagationComponents(pairs))
+      val viaStars = compsOf(TrainingOps.connectedComponentsStar(pairs))
+      assert(viaStars == viaLabels, s"graph $g: stars $viaStars != labels $viaLabels")
+    }
+    // and on the real near-dup graph
+    val docs = spark.read.parquet(s"$sfMid/documents.parquet")
+    val realPairs = TrainingOps.jaccardNearDupPairs(docs).select("id_a", "id_b")
+    val viaLabels = compsOf(TrainingOps.labelPropagationComponents(realPairs))
+    val viaStars = compsOf(TrainingOps.connectedComponentsStar(realPairs))
+    assert(viaStars == viaLabels)
+    assert(viaLabels.nonEmpty)
+  }
+
   // --- IVF: honest recall ---------------------------------------------------
 
   test("annIvf recall@20 vs brute force >= 0.8") {
@@ -130,10 +221,46 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val expect = graft.lib.Spans.lineSpans(r.formatted_text)
       assert(r.spans == expect, s"spans mismatch for ${r.conv_id}/${r.turn_idx}")
       for (s <- r.spans) {
-        val line = r.formatted_text.substring(s.start, s.end)
-        assert(!line.contains("\n") && line.trim.nonEmpty, s"bad span $s")
+        // offsets are CODE POINTS — index via offsetByCodePoints
+        val t = r.formatted_text
+        val line = t.substring(t.offsetByCodePoints(0, s.start), t.offsetByCodePoints(0, s.end))
+        assert(!line.contains("\n") && line.exists(_ != ' '), s"bad span $s")
       }
     }
+  }
+
+  test("span offsets are code points, not UTF-16 units (astral regression, ADVICE r02)") {
+    // astral chars reach formatted_text via short payloads (<=10 code
+    // points skip the BMP filter); each 𝔸 is 2 UTF-16 units but 1 code
+    // point — offsets must count 1.
+    val text = "𝔸𝕭 x\nNIK: 9"
+    val spans = graft.lib.Spans.lineSpans(text)
+    assert(spans == Seq(
+      graft.model.Span(0, 4, "text"),       // "𝔸𝕭 x" = 4 code points (8 units would be UTF-16)
+      graft.model.Span(5, 11, "form_field") // starts after 4 cps + \n
+    ), s"got $spans")
+    // agreement with the relational form (Spark length() = code points)
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val rel = SparkEntry.spansQuery(df).collect()
+      .map(r => graft.model.Span(r.getLong(2).toInt, r.getLong(3).toInt, r.getString(4))).toSeq
+    assert(rel == spans, s"relational $rel != typed $spans")
+  }
+
+  test("blank-line predicate matches SQL trim semantics on tab-only lines (ADVICE r02)") {
+    // Java's String.trim strips tabs; Spark/DuckDB trim strips spaces
+    // only — a tab-only line must be EMITTED by both forms.
+    val text = "a\n\t\n  \nb"
+    val typed = graft.lib.Spans.lineSpans(text)
+    assert(typed.map(s => (s.start, s.end)) == Seq((0, 1), (2, 3), (7, 8)),
+      s"tab-only line must produce a span: $typed")
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val rel = SparkEntry.spansQuery(df).collect()
+      .map(r => (r.getLong(2).toInt, r.getLong(3).toInt)).toSeq
+    assert(rel == typed.map(s => (s.start, s.end)), s"relational $rel != typed $typed")
   }
 
   // --- native SimHash60 expression ------------------------------------------
