@@ -121,6 +121,13 @@ object TrainingOps {
     * (PlanQualitySpec) and for callers that manage the cache themselves. */
   private[graft] def jaccardNearDupPairsPlan(
       docs: DataFrame, threshold: Double = 0.8, k: Int = 9): (DataFrame, DataFrame) = {
+    // Spread the input BEFORE the shingle/md5 stage: a small documents
+    // table is a single parquet split, so without this the whole 10M-md5
+    // signature computation runs in ONE task (measured 16 s of x13's
+    // 18 s at sf0.1; the round-2 bench hid it behind the warm run's
+    // leaked cache). At cluster scale the scan has natural parallelism
+    // and this is the same shuffle writing the signature table costs.
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val n = normText(col("text"))
     val sh = transform(
       sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
@@ -131,7 +138,7 @@ object TrainingOps {
     // ~30 interpreted-lambda recomputations per doc (measured 209 s at
     // sf0.1 vs ~2 s with the boundary; higher-order functions are not
     // codegen'd). At 100 TB this boundary is a written signature table.
-    val base = docs.select(col("doc_id"), array_distinct(sh).as("sh"))
+    val base = spread.select(col("doc_id"), array_distinct(sh).as("sh"))
       .select(col("doc_id"), col("sh"),
         transform(col("sh"),
           s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)).as("hl"))
@@ -351,7 +358,10 @@ object TrainingOps {
     val nBands = 4
     val bandBits = SimhashBits / nBands // 15
     val bandMask = (1L << bandBits) - 1
-    val sigs = simhash(docs)
+    // spread before the fingerprint stage — same single-split rationale
+    // as jaccardNearDupPairsPlan
+    val sigs = simhash(
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism))
     val bands = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map { i =>
         struct(lit(i).as("band"),
