@@ -258,6 +258,19 @@ object SparkEntry {
     // conditional-cumsum window merge + per-block bbox aggregate)
     "x12_block_spans" -> ((s, dir) =>
       blockSpansQuery(s.read.parquet(t(dir, "documents")))),
+    // benchmark decontamination: flag docs sharing a word 13-gram with
+    // the held-out set (deterministically: doc_id % 97 == 0); the
+    // benchmark gram-hash set broadcasts, corpus side never shuffles
+    "x19_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      TrainingOps.decontaminate(docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+    }),
+    // deterministic hash sample: same 10% every run at any parallelism
+    "x20_hash_sample" -> ((s, dir) =>
+      TrainingOps.hashSample(s.read.parquet(t(dir, "documents")))),
+    // per-doc top-3 TF-IDF terms (corpus term weighting)
+    "x21_tfidf_top_terms" -> ((s, dir) =>
+      TrainingOps.tfidfTopTerms(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -913,7 +926,43 @@ object SparkEntry {
          |SELECT comp AS component, count(*) AS n_docs, max(id) AS max_doc FROM (
          | SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
          |GROUP BY comp ORDER BY component""".stripMargin,
-    "x12_block_spans" -> blockSpansOracleSql())
+    "x12_block_spans" -> blockSpansOracleSql(),
+    "x19_decontaminate" -> {
+      val grams =
+        s"""list_distinct([CAST(('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 8)) AS BIGINT)
+           | FOR i IN range(1, greatest(len(toks)-12, 1)+1)])""".stripMargin
+      s"""WITH tok AS (
+         | SELECT doc_id, regexp_split_to_array($normSql, ' ') AS toks FROM documents),
+         |bset AS (
+         | SELECT DISTINCT unnest($grams) AS g FROM tok WHERE doc_id % 97 = 0),
+         |dg AS (
+         | SELECT doc_id, unnest($grams) AS g FROM tok)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM dg JOIN bset USING (g)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "x20_hash_sample" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "x21_tfidf_top_terms" ->
+      """WITH words AS (
+        | SELECT doc_id, w FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |  FROM documents) WHERE w <> ''),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        | SELECT doc_id, w, round(tf * ln((n + 1.0) / (df + 1.0)), 4) AS tfidf
+        | FROM tf JOIN dfx USING (w) CROSS JOIN n)
+        |SELECT doc_id, rn, term, tfidf FROM (
+        | SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS BIGINT) AS rn,
+        |  w AS term, tfidf
+        | FROM scored)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

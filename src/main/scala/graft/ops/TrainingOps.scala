@@ -697,6 +697,69 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the canonical overlap check before
+    * training: flag every document sharing at least one word 13-gram
+    * with a held-out benchmark set (the n-gram-collision test used to
+    * scrub eval sets out of pretraining corpora). Scale shape: the
+    * benchmark's distinct gram-hash set is small (millions of longs →
+    * a few MB) and BROADCAST; the corpus side explodes its distinct
+    * grams per doc and semi-joins — no shuffle of the corpus, one
+    * narrow aggregation of the hits. Gram hash = the portable
+    * md5-prefix, so DuckDB oracles the exact same fingerprints.
+    * Documents shorter than n words contribute their whole token run
+    * as one gram (clamped slice — mirrored by list_slice in SQL). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13): DataFrame = {
+    def gramHashes(c: Column): Column = {
+      val toks = split(normText(c), " ")
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => conv(substring(md5(concat_ws(" ", slice(toks, i.cast("int"), lit(n)))), 1, 8), 16, 10)
+          .cast(LongType))
+    }
+    val bGrams = benchmark
+      .select(explode(array_distinct(gramHashes(col("text")))).as("g")).distinct()
+    val dGrams = docs
+      .select(col("doc_id"), explode(array_distinct(gramHashes(col("text")))).as("g"))
+    dGrams.join(broadcast(bGrams), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic Bernoulli sampling by key hash — reproducible
+    * downsampling (the "take 10% of the corpus, same 10% every run,
+    * any cluster size" op). Pure per-row map: no shuffle, no RNG state,
+    * stable under repartitioning — the properties rand()-based sampling
+    * lacks at scale. */
+  def hashSample(docs: DataFrame, outOf: Int = 10, keep: Int = 0): DataFrame =
+    docs.select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars"))
+      .filter(pmod(portableHash(concat(lit("sample:"), col("doc_id").cast("string"))),
+        lit(outOf)) === keep)
+      .orderBy("doc_id")
+
+  /** Per-document top-k terms by TF-IDF — corpus-level term weighting
+    * (feature extraction / keyword indexing over the training corpus).
+    * Scale shape: one shuffle for per-doc term counts, one small
+    * aggregation for document frequencies (vocabulary-sized → broadcast
+    * back), then a per-doc window top-k. Scores round to 4 decimals
+    * BEFORE ranking so the tie-break (term asc) is deterministic and
+    * engine-portable. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val nDocs = docs.count()
+    val words = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "w")
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs + 1.0) / (col("df") + 1.0)), 4))
+    val win = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("w"))
+    scored.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn").cast(LongType).as("rn"),
+        col("w").as("term"), col("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
   // --- misc relational showcases ----------------------------------------------
 
   /** Sessionize events: new session when gap > 30 min (lag + cumulative

@@ -155,6 +155,28 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"persistent RDDs grow across invocations: before=$before mid=$mid after=$after")
   }
 
+  test("x19: decontamination broadcasts the benchmark gram set, never shuffles the corpus grams") {
+    val p = plan("x19_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus gram side must not shuffle for the semi-join:\n$p")
+  }
+
+  test("x20: hash sample is a pure pushed filter, no shuffle at all") {
+    val p = plan("x20_hash_sample")
+    // the only exchange allowed is the final presentation sort
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"sampling must not shuffle data:\n$p")
+    assert(p.contains("Filter"), p)
+  }
+
+  test("x21: tf-idf joins document frequencies by broadcast") {
+    val p = plan("x21_tfidf_top_terms")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary-sized df table must broadcast back:\n$p")
+  }
+
   test("x02: metrics never reads the fat text column") {
     val df = SparkEntry.queries("x02_extract_metrics")(spark, sfDir)
     // The extraction stage necessarily reads text, but the metrics
