@@ -271,6 +271,11 @@ object SparkEntry {
     // per-doc top-3 TF-IDF terms (corpus term weighting)
     "x21_tfidf_top_terms" -> ((s, dir) =>
       TrainingOps.tfidfTopTerms(s.read.parquet(t(dir, "documents")))),
+    // as-of join: each purchase gets the user's most recent prior view —
+    // composed (union-tag + last-ignoreNulls window, one shuffle),
+    // oracled against DuckDB's NATIVE ASOF LEFT JOIN
+    "x22_asof_join" -> ((s, dir) =>
+      TrainingOps.asofJoin(s.read.parquet(t(dir, "events")), "purchase", "view")),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -946,6 +951,19 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
         |ORDER BY doc_id""".stripMargin,
+    "x22_asof_join" ->
+      """WITH l AS (
+        | SELECT user_id, event_id AS l_event, ts AS l_ts
+        | FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        | SELECT user_id, ts AS r_ts, max(event_id) AS r_event
+        | FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT l.user_id AS user_id, l_event,
+        | CAST(floor(epoch(l_ts)) AS BIGINT) AS l_ts_s,
+        | r_event,
+        | CAST(floor(epoch(r_ts)) AS BIGINT) AS r_ts_s
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.l_ts >= r.r_ts
+        |ORDER BY user_id, l_event""".stripMargin,
     "x21_tfidf_top_terms" ->
       """WITH words AS (
         | SELECT doc_id, w FROM (

@@ -760,6 +760,43 @@ object TrainingOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** As-of join — the canonical time-series operator Spark lacks as a
+    * built-in: each LEFT event picks the most recent RIGHT event with
+    * ts <= left.ts for the same key (LEFT semantics: unmatched left rows
+    * keep nulls). Composed per the compose-first rule (SURVEY §2
+    * custom-operator ladder) rather than a custom SparkPlan: union-tag
+    * both sides, ONE shuffle on the key, and carry the latest right row
+    * forward with last(_, ignoreNulls) over the event-time order — right
+    * rows sort before left rows at equal ts, so the join is inclusive.
+    * Linear in the partition, no per-row probe, AQE-splittable on hot
+    * keys; the right side is deduped to one row per (key, ts) with the
+    * max event id so ties are deterministic. Oracled against DuckDB's
+    * NATIVE ASOF LEFT JOIN. */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("l_event"), lit(1).as("is_l"),
+        lit(null).cast(LongType).as("r_event_in"))
+    val r = events.filter(col("event_type") === rightType)
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("r_event_in"))
+      .select(col("user_id"), col("ts"),
+        lit(null).cast(LongType).as("l_event"), lit(0).as("is_l"),
+        col("r_event_in"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("r_match",
+        last(when(col("is_l") === 0, struct(col("r_event_in").as("r_event"),
+          col("ts").as("r_ts"))), ignoreNulls = true).over(w))
+      .filter(col("is_l") === 1)
+      .select(col("user_id"), col("l_event"),
+        unix_timestamp(col("ts")).as("l_ts_s"),
+        col("r_match.r_event").as("r_event"),
+        unix_timestamp(col("r_match.r_ts")).as("r_ts_s"))
+      .orderBy("user_id", "l_event")
+  }
+
   // --- misc relational showcases ----------------------------------------------
 
   /** Sessionize events: new session when gap > 30 min (lag + cumulative

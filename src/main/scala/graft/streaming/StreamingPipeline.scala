@@ -33,6 +33,24 @@ object StreamingPipeline {
       .groupBy(window(col("ts"), "5 minutes"), col("payload_kind"), col("status"))
       .agg(count(lit(1)).as("n_turns"), sum("n_chars").as("total_chars"))
 
+  /** Streaming exact dedup — the continuous-ingest counterpart of the
+    * batch q09 operator: drop every turn whose canonical text
+    * fingerprint was already seen, with a watermark bounding how long a
+    * fingerprint stays in state (at 100 TB/day the state would
+    * otherwise grow without bound; within the watermark the dedup is
+    * exact, beyond it a duplicate older than the lateness bound can
+    * re-enter — the standard streaming-dedup contract). Fingerprint =
+    * md5 of the same normalization the batch dedup family uses. */
+  def streamDedup(turns: Dataset[Turn], watermark: String = "10 minutes"): Dataset[Turn] = {
+    import turns.sparkSession.implicits._
+    turns
+      .withColumn("fp", md5(graft.ops.TrainingOps.normText(col("text"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+      .as[Turn]
+  }
+
   /** Rolling per-kind stats with EMA success rate — the reference's
     * _update_processing_stats re-expressed as keyed streaming state.
     * The reference smooths the CUMULATIVE success rate, not the per-item

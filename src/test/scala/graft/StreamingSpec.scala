@@ -62,6 +62,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming dedup drops repeated fingerprints across micro-batches, keeps one per distinct text") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingPipeline.streamDedup(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: 10 distinct + 5 in-batch duplicates (same normalized text)
+    val distinct1 = turns(10)
+    val dups1 = turns(5).map(t => t.copy(conv_id = t.conv_id + "-dup",
+      text = "  " + t.text.replace(" ", "  ") + " ")) // same normText fingerprint
+    input.addData(distinct1 ++ dups1)
+    q.processAllAvailable()
+    // batch 2: 5 cross-batch duplicates of batch 1 + 5 new distinct
+    val dups2 = turns(5).map(t => t.copy(conv_id = t.conv_id + "-late"))
+    val distinct2 = turns(5, offset = 50)
+    input.addData(dups2 ++ distinct2)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT text FROM dedup_out").collect().map(_.getString(0))
+    val expectFps = (distinct1 ++ distinct2).map(t =>
+      t.text.toLowerCase.replaceAll("\\s+", " ").trim).toSet
+    val gotFps = out.map(_.toLowerCase.replaceAll("\\s+", " ").trim).toSet
+    assert(out.length == 15, s"expected 15 survivors, got ${out.length}")
+    assert(gotFps == expectFps, s"fingerprint sets diverge: ${gotFps.size} vs ${expectFps.size}")
+  }
+
   test("rolling last-10 state keeps only the final 10 costs per kind") {
     val ss = spark
     import ss.implicits._
