@@ -276,6 +276,10 @@ object SparkEntry {
     // oracled against DuckDB's NATIVE ASOF LEFT JOIN
     "x22_asof_join" -> ((s, dir) =>
       TrainingOps.asofJoin(s.read.parquet(t(dir, "events")), "purchase", "view")),
+    // range join: views within 30min before each purchase — time-bucket
+    // blocked equi-join (lossless ×2 probe), never a nested loop
+    "x23_range_join" -> ((s, dir) =>
+      TrainingOps.rangeJoinCount(s.read.parquet(t(dir, "events")), "purchase", "view")),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -964,6 +968,14 @@ object SparkEntry {
         | CAST(floor(epoch(r_ts)) AS BIGINT) AS r_ts_s
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.l_ts >= r.r_ts
         |ORDER BY user_id, l_event""".stripMargin,
+    "x23_range_join" ->
+      """SELECT l.user_id AS user_id, l.event_id AS l_event,
+        | count(r.ts) AS n_right_in_window
+        |FROM events l LEFT JOIN events r
+        |  ON l.user_id = r.user_id AND r.event_type = 'view'
+        |  AND r.ts >= l.ts - INTERVAL 1800 SECONDS AND r.ts <= l.ts
+        |WHERE l.event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x21_tfidf_top_terms" ->
       """WITH words AS (
         | SELECT doc_id, w FROM (

@@ -797,6 +797,35 @@ object TrainingOps {
       .orderBy("user_id", "l_event")
   }
 
+  /** Range join — the interval-predicate join Spark would otherwise plan
+    * as a broadcast nested loop: for each LEFT event, aggregate the
+    * RIGHT events of the same key inside [l_ts - window, l_ts]. Made
+    * scale-safe by time-bucket blocking with bucket width = the window:
+    * a qualifying right row's bucket is the left row's bucket or the one
+    * before (lossless cover), so the left side replicates ×2 and the
+    * join is a pure EQUI-join on (key, bucket) with the exact interval
+    * check as a post-filter. Each qualifying pair meets exactly once
+    * (the probe buckets are distinct), left rows with no match survive
+    * via the outer join, and AQE can skew-split hot (key, bucket)s. */
+  def rangeJoinCount(events: DataFrame, leftType: String, rightType: String,
+                     windowSec: Long = 1800L): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("l_event"), col("ts").as("l_ts"),
+        explode(array(
+          floor(unix_timestamp(col("ts")) / windowSec) - 1,
+          floor(unix_timestamp(col("ts")) / windowSec))).as("bkt"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id"), col("ts").as("r_ts"),
+        floor(unix_timestamp(col("ts")) / windowSec).as("bkt"))
+    val inWindow = col("r_ts").isNotNull &&
+      col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+      col("r_ts") <= col("l_ts")
+    l.join(r, Seq("user_id", "bkt"), "left")
+      .groupBy(col("user_id"), col("l_event"))
+      .agg(count(when(inWindow, lit(1))).as("n_right_in_window"))
+      .orderBy("user_id", "l_event")
+  }
+
   // --- misc relational showcases ----------------------------------------------
 
   /** Sessionize events: new session when gap > 30 min (lag + cumulative

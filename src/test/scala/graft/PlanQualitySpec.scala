@@ -177,6 +177,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"vocabulary-sized df table must broadcast back:\n$p")
   }
 
+  test("x22/x23: as-of and range joins are equi-joins, never nested loops") {
+    for (n <- Seq("x22_asof_join", "x23_range_join")) {
+      val p = plan(n)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$n must not plan a nested loop:\n$p")
+    }
+    // the range join's interval predicate must be a post-filter over the
+    // bucket equi-join, not a join condition forcing a nested loop
+    val p = plan("x23_range_join")
+    assert(p.contains("bkt"), s"expected the time-bucket equi key:\n$p")
+  }
+
   test("x02: metrics never reads the fat text column") {
     val df = SparkEntry.queries("x02_extract_metrics")(spark, sfDir)
     // The extraction stage necessarily reads text, but the metrics
@@ -250,6 +262,27 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // lineage rows exist and row counts reconcile
     val lineageN = spark.read.parquet(s"$out/lineage").selectExpr("sum(n_rows)").head().getLong(0)
     assert(lineageN == done.size.toLong, s"lineage rows $lineageN != results ${done.size}")
+  }
+
+  test("resume treats a _temporary-only results dir as a fresh run (first-write SIGKILL)") {
+    // a job killed during its FIRST write leaves results/ holding only
+    // the uncommitted _temporary — resume must process everything, not
+    // die on parquet schema inference over zero committed files
+    // (ADVICE r02); the subsequent append completes to exactly-once.
+    val ss = spark
+    import ss.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-firstkill").toString
+    assert(new java.io.File(s"$out/results/_temporary/0/task_dead/").mkdirs())
+    val all = Pipeline.turnsFromDocuments(spark, sfDir).limit(25)
+    val remaining = Pipeline.resume(spark, all, out)
+    assert(remaining.count() == 25, "resume over an uncommitted-only dir must be a fresh run")
+    Pipeline.appendResults(Pipeline.extractTurns(remaining), out)
+    val keys = spark.read.parquet(s"$out/results")
+      .select("conv_id", "turn_idx").as[(String, Int)].collect()
+    assert(keys.length == 25 && keys.distinct.length == 25,
+      s"expected 25 unique keys, got ${keys.length}/${keys.distinct.length}")
+    // and the dead attempt's dir is gone (purged before the append commit)
+    assert(!new java.io.File(s"$out/results/_temporary/0/task_dead").exists())
   }
 
   test("resume append purges a dead attempt's _temporary task outputs") {
