@@ -280,6 +280,31 @@ object SparkEntry {
     // blocked equi-join (lossless ×2 probe), never a nested loop
     "x23_range_join" -> ((s, dir) =>
       TrainingOps.rangeJoinCount(s.read.parquet(t(dir, "events")), "purchase", "view")),
+    // exact group-wise quantiles (median/p90 per event type). Exact
+    // percentile buffers a group's values — fine for low-cardinality
+    // group keys like these; at 100 TB with high-cardinality keys use
+    // approx_percentile (t-digest sketch, mergeable map-side) instead.
+    "x24_event_quantiles" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+    // pivot: events cross-tabbed hour-of-day × type — the wide-matrix
+    // reshape (one shuffle; the pivot column list is explicit, so no
+    // extra distinct-values pass over the data)
+    "x25_event_pivot" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .withColumn("hr", hour(col("ts")).cast("long"))
+        .groupBy("hr")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("hr")
+    }),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -976,6 +1001,20 @@ object SparkEntry {
         |  AND r.ts >= l.ts - INTERVAL 1800 SECONDS AND r.ts <= l.ts
         |WHERE l.event_type = 'purchase'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x24_event_quantiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x25_event_pivot" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hr,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "x21_tfidf_top_terms" ->
       """WITH words AS (
         | SELECT doc_id, w FROM (
