@@ -139,6 +139,16 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val viaStars = compsOf(TrainingOps.connectedComponentsStar(pairs))
       assert(viaStars == viaLabels, s"graph $g: stars $viaStars != labels $viaLabels")
     }
+    // diameter stress at size: a 10,000-node path converges in O(log n)
+    // star rounds where min-label propagation would need 10,000 rounds —
+    // the measured basis of the 100 TB claim
+    val longPath = (1L until 10000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (comps, rounds) = TrainingOps.connectedComponentsStarWithRounds(longPath)
+    val c = comps.collect()
+    assert(c.length == 1 && c.head.getLong(0) == 1L &&
+      c.head.getLong(1) == 10000L && c.head.getLong(2) == 10000L,
+      s"10k path must collapse to one component rooted at 1: ${c.toSeq}")
+    assert(rounds <= 25, s"star contraction took $rounds rounds on a 10k path (want O(log n))")
     // and on the real near-dup graph
     val docs = spark.read.parquet(s"$sfMid/documents.parquet")
     val realPairs = TrainingOps.jaccardNearDupPairs(docs).select("id_a", "id_b")
