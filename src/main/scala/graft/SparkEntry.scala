@@ -305,6 +305,32 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("hr")
     }),
+    // Gopher-style within-doc repetition stats (the quality filter that
+    // drops boilerplate/looping docs): most-frequent-bigram share and
+    // duplicate-trigram share, in exact integer basis points
+    "x26_repetition_stats" -> ((s, dir) =>
+      TrainingOps.repetitionStats(s.read.parquet(t(dir, "documents")))),
+    // PII redaction over a deterministic synthesized view — testdata has
+    // zero digits/@ signs, so both engines append the same PII-shaped
+    // suffix (the x15-x18 derived-view pattern) and the redaction paths
+    // see real traffic
+    "x27_redact_pii" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      TrainingOps.redactPii(docs.select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text")))
+    }),
+    // sign-random-projection LSH signatures over embeddings — the
+    // bit-sketch scale path for embedding similarity; integer-exact
+    // after 1e-6 quantization, so fully DuckDB-oracled
+    "x28_embed_lsh_sig" -> ((s, dir) =>
+      TrainingOps.embeddingLshSignatures(s.read.parquet(t(dir, "embeddings")))),
+    // LSH-bucketed ANN: Hamming top-M candidates -> exact cosine top-k.
+    // Deterministic (ties on vec_id), so unlike the IVF path (x04) this
+    // ANN variant has a complete oracle
+    "x29_ann_lsh" -> ((s, dir) =>
+      TrainingOps.annLsh(s.read.parquet(t(dir, "embeddings")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -509,6 +535,23 @@ object SparkEntry {
        |FROM (SELECT doc_id,
        |  [CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) FOR w IN string_split(n, ' ')] AS hashes
        |  FROM (SELECT doc_id, $normSql AS n FROM documents))""".stripMargin
+
+  // --- embedding LSH (x28/x29): mirrors TrainingOps.embeddingLshSignatures -
+  // Signs derive from the same md5("hp:p:d") recipe hyperplaneSign uses;
+  // the 1e-6 quantization makes the per-plane dot exact BIGINT math, so
+  // the signature is bit-for-bit portable across engines.
+
+  private def embedLshSigSql: String =
+    s"""SELECT vec_id, CAST(list_sum([
+       |  CASE WHEN list_sum([q[d+1] *
+       |    (CASE WHEN CAST(('0x' || substr(md5('hp:' || p || ':' || d), 1, 8)) AS BIGINT) % 2 = 1
+       |     THEN 1 ELSE -1 END)
+       |    FOR d IN range(0, len(q))]) >= 0
+       |  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END
+       |  FOR p IN range(0, 48)]) AS BIGINT) AS lsh_sig
+       |FROM (SELECT vec_id,
+       |  [CAST(floor(e * 1000000) AS BIGINT) FOR e IN embedding::DOUBLE[]] AS q
+       |  FROM embeddings)""".stripMargin
 
   // --- payload features (x08/x09): mirrors Classify.payloadStats 1:1 -------
 
@@ -1015,6 +1058,55 @@ object SparkEntry {
         | count(*) FILTER (event_type = 'signup') AS signup,
         | count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x26_repetition_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]) AS g
+        | FROM w),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bi AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |              CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY 1),
+        |tg AS (SELECT doc_id,
+        |  unnest([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS g
+        | FROM w),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+        |tri AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+        |               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tri
+        |        FROM tc GROUP BY 1)
+        |SELECT bi.doc_id AS doc_id, n_bigrams, top_bigram_n,
+        |  top_bigram_n * 10000 // n_bigrams AS top_bigram_bp,
+        |  dup_tri * 10000 // n_trigrams AS dup_trigram_bp
+        |FROM bi JOIN tri ON bi.doc_id = tri.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "x27_redact_pii" -> {
+      import graft.ops.TrainingOps.{EmailPat, PhonePat}
+      s"""WITH pii AS (
+         | SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |   || '@example.com or +1-555-'
+         |   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT) AS n_phones,
+         | regexp_replace(regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
+         |   '$PhonePat', '<PHONE>', 'g') AS redacted
+         |FROM pii ORDER BY doc_id""".stripMargin
+    },
+    "x28_embed_lsh_sig" ->
+      s"""WITH sigs AS ($embedLshSigSql)
+         |SELECT vec_id, lsh_sig FROM sigs ORDER BY vec_id""".stripMargin,
+    "x29_ann_lsh" ->
+      s"""WITH sigs AS ($embedLshSigSql),
+         |q AS (SELECT vec_id AS qid, lsh_sig AS qsig FROM sigs ORDER BY vec_id LIMIT 1),
+         |qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings ORDER BY vec_id LIMIT 1),
+         |cand AS (SELECT vec_id FROM sigs, q WHERE vec_id <> qid
+         |         ORDER BY bit_count(xor(lsh_sig, qsig)), vec_id LIMIT 150)
+         |SELECT e.vec_id AS vec_id,
+         | round(list_dot_product(e.embedding::DOUBLE[], qvec) /
+         |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+         |   sqrt(list_dot_product(qvec, qvec))), 3) AS sim
+         |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv
+         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
     "x21_tfidf_top_terms" ->
       """WITH words AS (
         | SELECT doc_id, w FROM (

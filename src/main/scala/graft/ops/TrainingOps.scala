@@ -766,6 +766,138 @@ object TrainingOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** Within-document repetition stats — the Gopher-style quality filter
+    * (Rae et al. 2021 §A1.1: drop documents whose most frequent n-gram
+    * dominates, or whose duplicate n-grams cover too much of the text).
+    * Per doc: total/most-frequent bigram counts and the fraction of
+    * trigram occurrences whose gram appears more than once. Fractions
+    * are INTEGER basis points (x*10000 DIV total) so the oracle compare
+    * is exact integer math, never float-format drift. Scale shape: two
+    * explode→groupBy chains keyed by (doc_id, gram) — map-side partial
+    * aggregation applies, no self-join, per-doc state only; the final
+    * join is doc_id-keyed and co-partitioned by AQE. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def grams(n: Int) =
+      expr(s"""CASE WHEN size(w) >= $n
+              | THEN transform(sequence(1, size(w) - ${n - 1}),
+              |                i -> concat_ws(' ', slice(w, i, $n)))
+              | ELSE array() END""".stripMargin)
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val bi = base.select(col("doc_id"), explode(grams(2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"),
+        max("c").as("top_bigram_n"))
+    val tri = base.select(col("doc_id"), explode(grams(3)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_trigrams"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_tri"))
+    bi.join(tri, "doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        expr("top_bigram_n * 10000 DIV n_bigrams").as("top_bigram_bp"),
+        expr("dup_tri * 10000 DIV n_trigrams").as("dup_trigram_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** PII-style redaction: count and mask email / phone-shaped tokens.
+    * The standard pre-training scrub pass — pure per-row regexp work
+    * (codegen'd, no shuffle, no UDF), so it rides the scan at any scale.
+    * Patterns stay in the portable regex subset (character classes +
+    * bounded repetition) that Java regex (Spark) and RE2 (the DuckDB
+    * oracle) interpret identically. Counts are taken on the original
+    * text; the output carries the fully redacted text so total masking
+    * is oracle-checked, not just the counts. */
+  /** Shared with the DuckDB oracle so the patterns cannot drift. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PhonePat = "\\+[0-9][0-9-]{4,}[0-9]"
+
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPat)).cast(LongType).as("n_emails"),
+      regexp_count(col("text"), lit(PhonePat)).cast(LongType).as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+
+  /** Deterministic Rademacher (±1) hyperplane sign for plane p, dim d —
+    * first 8 hex digits of md5("hp:p:d"), the same portable recipe as
+    * [[portableHash]], so the DuckDB oracle recomputes the identical
+    * matrix from SQL md5(). Sign-random-projection LSH (Charikar 2002)
+    * admits ±1 component vectors. */
+  private[graft] def hyperplaneSign(p: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"hp:$p:$d".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 1L else -1L
+  }
+
+  /** Sign-random-projection LSH signature over the embedding column —
+    * the bit-sketch scale path for embedding similarity (complement of
+    * the IVF path x04: Hamming distance on `bits`-bit signatures
+    * estimates the cosine angle). Embeddings are quantized to integer
+    * micro-units (floor(x*1e6)) BEFORE the projection, so the per-plane
+    * dot product is exact BIGINT arithmetic — bit-for-bit portable to
+    * the DuckDB oracle, no float-summation-order hazard in the sign.
+    * Per-row map over a broadcast ±1 matrix: no shuffle; at 100 TB this
+    * is the one-pass signature stage you'd persist next to the corpus
+    * (same boundary the x13 signature table uses). */
+  def embeddingLshSignatures(embeddings: DataFrame, bits: Int = 48): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits=$bits out of range")
+    val qe = transform(col("embedding"),
+      x => floor(x.cast(DoubleType) * 1000000d).cast(LongType))
+    // fold planes over a broadcast literal sign matrix; the quantized
+    // vector is a named column so the 1-pass shape survives optimization
+    val withQ = embeddings.select(col("vec_id"), qe.as("q"))
+    val dims = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val sig = (0 until bits).map { p =>
+      val planeLit = typedLit((0 until dims).map(d => hyperplaneSign(p, d)))
+      val dot = aggregate(
+        zip_with(col("q"), planeLit, (e, s) => e * s),
+        lit(0L), (a, x) => a + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withQ.select(col("vec_id"), sig.as("lsh_sig")).orderBy("vec_id")
+  }
+
+  /** ANN via the LSH signatures: rank the corpus by Hamming distance to
+    * the query's signature, keep the closest `probeM` as candidates,
+    * then exact-cosine-verify only those — candidate→verify, never
+    * all-pairs. Fully deterministic (ties break on vec_id), so unlike
+    * x04's IVF this ANN path has a complete DuckDB oracle, plus a
+    * recall@k spec vs the brute-force ground truth. Scale shape: the
+    * Hamming scan is a per-row xor/popcount into a top-M
+    * (TakeOrderedAndProject — no full sort), and the verify join
+    * broadcasts the M candidate ids. */
+  def annLsh(embeddings: DataFrame, k: Int = 20, bits: Int = 48,
+             probeM: Int = 150): DataFrame = {
+    val sigs = embeddingLshSignatures(embeddings, bits)
+    val qRow = embeddings.orderBy("vec_id").select("vec_id", "embedding").head()
+    val qId = qRow.getLong(0)
+    val qVec = typedLit(qRow.getSeq[Float](1).map(_.toDouble))
+    val qSig = sigs.filter(col("vec_id") === qId).head().getLong(1)
+    val cand = sigs
+      .filter(col("vec_id") =!= qId)
+      .withColumn("hamming", bit_count(col("lsh_sig").bitwiseXOR(lit(qSig))))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(probeM)
+      .select("vec_id")
+    embeddings.join(broadcast(cand), "vec_id")
+      .select(col("vec_id"),
+        round(cosine(asDouble(col("embedding")), qVec), 3).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** recall@k of the LSH ANN path vs brute force — same honesty metric
+    * as [[ivfRecallAtK]]. */
+  def lshRecallAtK(embeddings: DataFrame, k: Int = 20): Double = {
+    val truth = annBruteForce(embeddings, k).select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = annLsh(embeddings, k).select("vec_id").collect().map(_.getLong(0)).toSet
+    if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
+  }
+
   /** As-of join — the canonical time-series operator Spark lacks as a
     * built-in: each LEFT event picks the most recent RIGHT event with
     * ts <= left.ts for the same key (LEFT semantics: unmatched left rows

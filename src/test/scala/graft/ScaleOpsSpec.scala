@@ -383,4 +383,69 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"rolling avg for $key: ${rolled(key)} != $expect")
     }
   }
+
+  // --- repetition stats (x26) ----------------------------------------------
+
+  test("repetitionStats separates repetitive from diverse documents") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),       // 5 bigrams, all "spam spam"
+      (2L, "the quick brown fox jumps over dogs"), // 6 distinct bigrams
+      (3L, "go go stop go go stop")                // mixed
+    ).toDF("doc_id", "text")
+    val r = TrainingOps.repetitionStats(docs).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(r(1L).getAs[Long]("n_bigrams") == 5L &&
+      r(1L).getAs[Long]("top_bigram_bp") == 10000L &&
+      r(1L).getAs[Long]("dup_trigram_bp") == 10000L,
+      s"degenerate doc: ${r(1L)}")
+    assert(r(2L).getAs[Long]("top_bigram_n") == 1L &&
+      r(2L).getAs[Long]("top_bigram_bp") == 1666L && // 1*10000 DIV 6
+      r(2L).getAs[Long]("dup_trigram_bp") == 0L,
+      s"diverse doc: ${r(2L)}")
+    // doc 3 bigrams: "go go"x2, "go stop"x2, "stop go"x1 → top 2 of 5 = 4000
+    assert(r(3L).getAs[Long]("top_bigram_bp") == 4000L, s"mixed doc: ${r(3L)}")
+  }
+
+  // --- PII redaction (x27) --------------------------------------------------
+
+  test("redactPii counts and masks email and phone tokens, leaves clean text alone") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "mail a.b@x.co and c_d@y.org or call +62-21-555-0100 now"),
+      (2L, "no pii in this line at all")
+    ).toDF("doc_id", "text")
+    val r = TrainingOps.redactPii(docs).collect().map(row => row.getLong(0) -> row).toMap
+    assert(r(1L).getAs[Long]("n_emails") == 2L && r(1L).getAs[Long]("n_phones") == 1L)
+    assert(r(1L).getAs[String]("redacted") ==
+      "mail <EMAIL> and <EMAIL> or call <PHONE> now")
+    assert(r(2L).getAs[Long]("n_emails") == 0L && r(2L).getAs[Long]("n_phones") == 0L)
+    assert(r(2L).getAs[String]("redacted") == "no pii in this line at all")
+  }
+
+  // --- embedding LSH (x28/x29) ----------------------------------------------
+
+  test("embedding LSH: deterministic signatures; ANN recall beats the random-candidate floor") {
+    val emb = spark.read.parquet(s"$sfMid/embeddings.parquet")
+    val sigs = TrainingOps.embeddingLshSignatures(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sigs.length == 500 && sigs.map(_._1).distinct.length == 500)
+    // deterministic: same input → bit-identical signatures
+    val again = TrainingOps.embeddingLshSignatures(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sigs == again)
+    // the driver-side ±1 matrix must match the md5 recipe the oracle uses
+    assert(TrainingOps.hyperplaneSign(0, 0).abs == 1L &&
+      (0 until 48).flatMap(p => (0 until 64).map(d =>
+        TrainingOps.hyperplaneSign(p, d))).count(_ == 1L) > 1300) // unbiased-ish
+    // recall@20 vs brute force: probing the 150 Hamming-closest of 499
+    // candidates on ISOTROPIC testdata (the hard case for any sketch —
+    // every pairwise angle is near 90°, so sign bits carry minimal
+    // signal). A random 150-candidate probe would land ~150/499 ≈ 0.30
+    // of the true top-20; measured at this operating point: 0.70.
+    val recall = TrainingOps.lshRecallAtK(emb, 20)
+    assert(recall >= 0.6, s"LSH ANN recall@20 $recall under bar (random floor ≈ 0.30)")
+  }
 }
