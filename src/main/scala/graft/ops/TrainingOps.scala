@@ -777,23 +777,28 @@ object TrainingOps {
     * aggregation applies, no self-join, per-doc state only; the final
     * join is doc_id-keyed and co-partitioned by AQE. */
   def repetitionStats(docs: DataFrame): DataFrame = {
+    // Single corpus scan: bigrams and trigrams ride one explode, tagged
+    // with their gram order n, so per-doc stats for both orders come out
+    // of ONE (doc_id, n, g) count + ONE conditional agg on doc_id — two
+    // exchanges total, vs the naive two-branch plan's second full scan
+    // plus four exchanges and a join.
     def grams(n: Int) =
       expr(s"""CASE WHEN size(w) >= $n
               | THEN transform(sequence(1, size(w) - ${n - 1}),
-              |                i -> concat_ws(' ', slice(w, i, $n)))
+              |                i -> named_struct('n', $n, 'g', concat_ws(' ', slice(w, i, $n))))
               | ELSE array() END""".stripMargin)
-    val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    val bi = base.select(col("doc_id"), explode(grams(2)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(concat(grams(2), grams(3))).as("t"))
+      .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
-        sum("c").as("n_bigrams"),
-        max("c").as("top_bigram_n"))
-    val tri = base.select(col("doc_id"), explode(grams(3)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        sum("c").as("n_trigrams"),
-        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_tri"))
-    bi.join(tri, "doc_id")
+        sum(when(col("n") === 2, col("c"))).as("n_bigrams"),
+        max(when(col("n") === 2, col("c"))).as("top_bigram_n"),
+        sum(when(col("n") === 3, col("c"))).as("n_trigrams"),
+        sum(when(col("n") === 3 && col("c") > 1, col("c")).otherwise(lit(0L)))
+          .as("dup_tri"))
+      // docs too short for trigrams: match the oracle's inner join (drop)
+      .where(col("n_trigrams").isNotNull && col("n_trigrams") > 0)
       .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
         expr("top_bigram_n * 10000 DIV n_bigrams").as("top_bigram_bp"),
         expr("dup_tri * 10000 DIV n_trigrams").as("dup_trigram_bp"))
