@@ -79,7 +79,12 @@ object Bench {
       "x01_extract_full", "x03_simhash",
       // the full dedup pipeline family, so regressions there are caught
       // by the driver's BENCH diff (round-2 VERDICT next #8)
-      "x06_simhash_pairs", "x13_jaccard_pairs", "x14_dup_components")
+      "x06_simhash_pairs", "x13_jaccard_pairs", "x14_dup_components",
+      // round-3 training-ops families: decontamination, TF-IDF, as-of /
+      // range joins, repetition filter, embedding LSH signatures + ANN
+      "x19_decontaminate", "x21_tfidf_top_terms", "x22_asof_join",
+      "x23_range_join", "x26_repetition_stats", "x28_embed_lsh_sig",
+      "x29_ann_lsh")
     val qTimes = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val (_, warm) = time(fn(spark, sfDir).count()) // warm: plan + IO cache

@@ -331,6 +331,14 @@ object SparkEntry {
     // ANN variant has a complete oracle
     "x29_ann_lsh" -> ((s, dir) =>
       TrainingOps.annLsh(s.read.parquet(t(dir, "embeddings")))),
+    // sequence packing (concat-and-chunk): global token offsets via the
+    // two-level distributed prefix sum — never a single-partition window
+    "x30_pack_sequences" -> ((s, dir) =>
+      TrainingOps.packSequences(s.read.parquet(t(dir, "documents")))),
+    // exact-quota stratified sample over token-length bands, ranked by
+    // the portable hash — deterministic data-mixing
+    "x31_stratified_sample" -> ((s, dir) =>
+      TrainingOps.stratifiedSample(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1107,6 +1115,34 @@ object SparkEntry {
          |   sqrt(list_dot_product(qvec, qvec))), 3) AS sim
          |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv
          |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    "x30_pack_sequences" ->
+      """WITH toks AS (SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        | FROM documents),
+        |off AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        | FROM toks)
+        |SELECT doc_id, n_tokens, tok_offset,
+        | CAST(tok_offset // 2048 AS BIGINT) AS chunk_first,
+        | CAST((tok_offset + n_tokens - 1) // 2048 AS BIGINT) AS chunk_last,
+        | CAST((tok_offset + n_tokens - 1) // 2048 - tok_offset // 2048 + 1 AS BIGINT) AS chunks_spanned
+        |FROM off ORDER BY doc_id""".stripMargin,
+    "x31_stratified_sample" ->
+      """WITH toks AS (SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS nt
+        | FROM documents),
+        |banded AS (SELECT doc_id, nt,
+        |  CAST(least(nt // 20, 5) AS BIGINT) AS band,
+        |  CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS rk
+        | FROM toks),
+        |r AS (SELECT doc_id, band, nt,
+        |  row_number() OVER (PARTITION BY band ORDER BY rk, doc_id) AS rn
+        | FROM banded)
+        |SELECT doc_id, band, nt AS n_tokens, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 25 ORDER BY band, rn""".stripMargin,
     "x21_tfidf_top_terms" ->
       """WITH words AS (
         | SELECT doc_id, w FROM (

@@ -903,6 +903,76 @@ object TrainingOps {
     if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
   }
 
+  /** Sequence packing (concat-and-chunk) — the pre-training batching op:
+    * documents are concatenated in stable doc_id order and cut into
+    * fixed `chunkTokens` windows; each doc reports its global token
+    * offset and the chunk range it lands in. The hard part at scale is
+    * the GLOBAL prefix sum: a bare `Window.orderBy` with no partition
+    * key funnels the whole corpus through ONE task. This is the
+    * textbook two-level distributed scan instead: (1) bucket docs by a
+    * deterministic doc_id range, (2) aggregate per-bucket token totals
+    * (tiny — `buckets` rows to the driver), (3) turn them into
+    * exclusive bucket prefix offsets broadcast back as a literal map,
+    * (4) run the within-bucket running sum as a window PARTITIONED by
+    * bucket — every bucket scans in parallel. Deterministic regardless
+    * of physical partitioning (buckets derive from doc_id, not
+    * spark_partition_id), so the two passes cannot disagree. */
+  def packSequences(docs: DataFrame, chunkTokens: Int = 2048,
+                    buckets: Int = 64): DataFrame = {
+    require(chunkTokens >= 1 && buckets >= 1)
+    val nToks = when(length(trim(col("text"))) === 0, 0)
+      .otherwise(size(split(trim(col("text")), "\\s+")))
+    val toks = docs.select(col("doc_id"), nToks.cast(LongType).as("n_tokens"))
+      .persist()
+    try {
+      val maxId = toks.agg(max("doc_id")).head().getLong(0)
+      val width = math.max(maxId / buckets + 1, 1L)
+      val withB = toks.withColumn("bucket",
+        expr(s"doc_id DIV $width").cast(LongType))
+      val sums = withB.groupBy("bucket").agg(sum("n_tokens").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val prefix = sums.map { case (b, s) => val p = (b, acc); acc += s; p }.toMap
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = withB
+        .withColumn("tok_offset",
+          element_at(typedLit(prefix), col("bucket"))
+            + sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+          expr(s"tok_offset DIV $chunkTokens").as("chunk_first"),
+          expr(s"(tok_offset + n_tokens - 1) DIV $chunkTokens").as("chunk_last"))
+        .withColumn("chunks_spanned",
+          col("chunk_last") - col("chunk_first") + lit(1L))
+        .orderBy("doc_id")
+      packed.localCheckpoint(true)
+    } finally toks.unpersist()
+  }
+
+  /** Exact-quota stratified sample: a deterministic `nPer`-doc sample
+    * from each token-length stratum — the data-mixing op that rebalances
+    * a corpus across length (or any) bands. Rank within each stratum by
+    * the portable md5 hash (uniform + engine-portable), take the first
+    * `nPer`. One window shuffle keyed by the stratum; no stratum ever
+    * needs more than its own partition's sort, and the quota cut is a
+    * rank filter, not a sample() (exact, reproducible, oracle-able). */
+  def stratifiedSample(docs: DataFrame, nPer: Int = 25,
+                       bandTokens: Int = 20, maxBand: Int = 5): DataFrame = {
+    val nToks = when(length(trim(col("text"))) === 0, 0)
+      .otherwise(size(split(trim(col("text")), "\\s+")))
+    val banded = docs.select(col("doc_id"), nToks.cast(LongType).as("nt"))
+      .withColumn("band", least(expr(s"nt DIV $bandTokens"), lit(maxBand.toLong)))
+      .withColumn("rk",
+        portableHash(concat(lit("strat:"), col("doc_id").cast("string"))))
+    banded
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band").orderBy(col("rk"), col("doc_id"))))
+      .filter(col("rn") <= nPer)
+      .select(col("doc_id"), col("band"), col("nt").as("n_tokens"),
+        col("rn").cast(LongType).as("rn"))
+      .orderBy("band", "rn")
+  }
+
   /** As-of join — the canonical time-series operator Spark lacks as a
     * built-in: each LEFT event picks the most recent RIGHT event with
     * ts <= left.ts for the same key (LEFT semantics: unmatched left rows

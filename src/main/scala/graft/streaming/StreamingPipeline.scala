@@ -51,6 +51,31 @@ object StreamingPipeline {
       .as[Turn]
   }
 
+  /** Streaming gap-sessionization — the continuous counterpart of the
+    * batch q19 operator, on Spark's native `session_window` (state
+    * merges adjacent windows per key; no custom state code needed).
+    * Semantics pinned to the batch op: q19 computes gaps on
+    * `unix_timestamp` (whole seconds) and CONTINUES a session at
+    * gap == 1800 s exactly (`gap > 1800` starts a new one). Spark's
+    * session merge is boundary-INCLUSIVE (an event landing exactly on
+    * the open session's end extends it), so a 1800 s gap on the
+    * second-truncated timestamp merges iff gap_sec <= 1800 — the same
+    * rule (the spec pins the == 1800 boundary).
+    * With a watermark, state for closed sessions is evicted (append
+    * mode emits only finalized sessions); pass None for complete-mode
+    * use. One row per (user, session) with its event count. */
+  def sessionCounts(events: DataFrame,
+                    watermark: Option[String] = Some("1 hour")): DataFrame = {
+    val secs = to_timestamp(from_unixtime(unix_timestamp(col("ts"))))
+    val base = events.withColumn("ts_sec", secs)
+    val marked = watermark.fold(base)(base.withWatermark("ts_sec", _))
+    marked
+      .groupBy(session_window(col("ts_sec"), "1800 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+  }
+
   /** Rolling per-kind stats with EMA success rate — the reference's
     * _update_processing_stats re-expressed as keyed streaming state.
     * The reference smooths the CUMULATIVE success rate, not the per-item

@@ -448,4 +448,52 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val recall = TrainingOps.lshRecallAtK(emb, 20)
     assert(recall >= 0.6, s"LSH ANN recall@20 $recall under bar (random floor ≈ 0.30)")
   }
+
+  // --- sequence packing (x30) ----------------------------------------------
+
+  test("packSequences: exact global offsets, straddle math, bucket-invariant") {
+    val ss = spark
+    import ss.implicits._
+    // token counts 3, 4, 5, 2 → offsets 0, 3, 7, 12
+    val docs = Seq(
+      (10L, "a b c"), (20L, "d e f g"), (30L, "h i j k l"), (40L, "m n")
+    ).toDF("doc_id", "text")
+    val r = TrainingOps.packSequences(docs, chunkTokens = 5, buckets = 3)
+      .collect().map(row => row.getLong(0) -> row).toMap
+    assert(r(10L).getAs[Long]("tok_offset") == 0L &&
+      r(10L).getAs[Long]("chunk_first") == 0L &&
+      r(10L).getAs[Long]("chunk_last") == 0L)
+    // doc 20: tokens 3..6 → straddles chunks 0 and 1
+    assert(r(20L).getAs[Long]("tok_offset") == 3L &&
+      r(20L).getAs[Long]("chunk_first") == 0L &&
+      r(20L).getAs[Long]("chunk_last") == 1L &&
+      r(20L).getAs[Long]("chunks_spanned") == 2L)
+    // doc 30: tokens 7..11 → chunks 1..2; doc 40: tokens 12..13 → chunk 2
+    assert(r(30L).getAs[Long]("chunk_first") == 1L &&
+      r(30L).getAs[Long]("chunk_last") == 2L)
+    assert(r(40L).getAs[Long]("tok_offset") == 12L &&
+      r(40L).getAs[Long]("chunks_spanned") == 1L)
+    // the two-level prefix sum must not depend on the bucket count
+    val one = TrainingOps.packSequences(docs, 5, buckets = 1).collect().map(_.toSeq)
+    val many = TrainingOps.packSequences(docs, 5, buckets = 7).collect().map(_.toSeq)
+    assert(one.toSeq == many.toSeq)
+  }
+
+  // --- stratified sample (x31) ---------------------------------------------
+
+  test("stratifiedSample: exact per-band quota, deterministic, subset of input") {
+    val docs = spark.read.parquet(s"$sfMid/documents.parquet")
+    val s1 = TrainingOps.stratifiedSample(docs, nPer = 25).collect()
+    val byBand = s1.groupBy(_.getAs[Long]("band")).view.mapValues(_.length).toMap
+    assert(byBand.nonEmpty && byBand.values.forall(_ <= 25),
+      s"quota exceeded: $byBand")
+    assert(byBand.size >= 4, s"expected several strata, got $byBand") // 5 bands in testdata
+    // every full band yields exactly nPer
+    val bandSizes = TrainingOps.stratifiedSample(docs, nPer = 1000000).collect()
+      .groupBy(_.getAs[Long]("band")).view.mapValues(_.length).toMap
+    for ((b, n) <- byBand if bandSizes(b) >= 25) assert(n == 25, s"band $b: $n")
+    // deterministic
+    val s2 = TrainingOps.stratifiedSample(docs, nPer = 25).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+  }
 }

@@ -191,4 +191,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ema > 0.99, s"ema for $kind should converge to 1, got $ema")
     }
   }
+
+  test("streaming session windows match batch sessionize, including the gap==1800s boundary") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    // user 1: gaps 600s (merge), exactly 1800s (merge — batch splits only
+    // at gap>1800), 1801s (split) → 2 sessions of 3+1 events.
+    // user 2: single event. user 3: two events 7200s apart → 2 sessions.
+    val evs = Seq(
+      (1L, 101L, new Timestamp(t0)),
+      (1L, 102L, new Timestamp(t0 + 600000L)),
+      (1L, 103L, new Timestamp(t0 + 600000L + 1800000L)),
+      (1L, 104L, new Timestamp(t0 + 600000L + 1800000L + 1801000L)),
+      (2L, 201L, new Timestamp(t0)),
+      (3L, 301L, new Timestamp(t0)),
+      (3L, 302L, new Timestamp(t0 + 7200000L)))
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamingPipeline.sessionCounts(
+      input.toDF().toDF("user_id", "event_id", "ts"), watermark = None)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Complete).start()
+    input.addData(evs.take(3))
+    q.processAllAvailable()
+    input.addData(evs.drop(3)) // rest arrives in a later micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      """SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events
+        |FROM sessions_out GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.ops.TrainingOps.sessionize(
+      evs.toDF("user_id", "event_id", "ts"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed(1L) == ((2L, 4L)) && streamed(3L) == ((2L, 2L)))
+  }
 }
