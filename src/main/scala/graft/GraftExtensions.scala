@@ -9,20 +9,30 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * GraftExtensions)`) makes the engine's native expressions available
   * to plain SQL (`SELECT simhash60(text) ...`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.simhash60Descriptor)
+    ext.injectFunction(GraftFunctions.nfcDescriptor)
+  }
 }
 
 /** Runtime registration for library callers that already hold a built
   * session (idempotent; TrainingOps calls it before using the
-  * function). */
+  * functions). */
 object GraftFunctions {
   val simhash60Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("simhash60"),
     new ExpressionInfo(classOf[graft.expr.SimHash60].getName, "simhash60"),
     (children: Seq[Expression]) => graft.expr.SimHash60(children.head))
 
-  def register(spark: SparkSession): Unit =
+  val nfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[graft.expr.NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => graft.expr.NfcNormalize(children.head))
+
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.graftshim.GraftRegistry.register(
       spark, "simhash60", simhash60Descriptor._3)
+    org.apache.spark.sql.graftshim.GraftRegistry.register(
+      spark, "nfc_normalize", nfcDescriptor._3)
+  }
 }

@@ -339,6 +339,23 @@ object SparkEntry {
     // the portable hash — deterministic data-mixing
     "x31_stratified_sample" -> ((s, dir) =>
       TrainingOps.stratifiedSample(s.read.parquet(t(dir, "documents")))),
+    // C4-style boilerplate-line removal over the multi-line view, with
+    // injected repeated lines (every doc gets a "subscribe" line, even
+    // docs a "rights" line) so the df>=3 cut sees real traffic
+    "x32_deboilerplate" -> ((s, dir) =>
+      TrainingOps.deboilerplate(multilineDocs(s, dir).select(
+        col("doc_id"),
+        concat(col("text"), lit("\nsubscribe to our newsletter today"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("\nall rights reserved worldwide")).otherwise(lit("")))
+          .as("text")))),
+    // Unicode NFC canonicalization via the native Expression; testdata
+    // is ASCII (NFC-identity), so both engines append the same
+    // decomposed sequences (e+U+0301, A+U+030A) to exercise the fold
+    "x33_nfc_normalize" -> ((s, dir) =>
+      TrainingOps.nfcNormalize(s.read.parquet(t(dir, "documents")).select(
+        col("doc_id"),
+        concat(col("text"), lit(" cafe\u0301 A\u030Avec")).as("text")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1143,6 +1160,35 @@ object SparkEntry {
         | FROM banded)
         |SELECT doc_id, band, nt AS n_tokens, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 25 ORDER BY band, rn""".stripMargin,
+    "x32_deboilerplate" ->
+      s"""WITH $mlDocsCte,
+         |docs2 AS (SELECT doc_id,
+         |  text || chr(10) || 'subscribe to our newsletter today' ||
+         |  CASE WHEN doc_id % 2 = 0
+         |       THEN chr(10) || 'all rights reserved worldwide' ELSE '' END AS text
+         | FROM mldocs),
+         |lines AS (SELECT doc_id,
+         |  unnest([{'pos': i-1, 'line': ls[i]} FOR i IN range(1, len(ls)+1)],
+         |         recursive := true)
+         | FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2)),
+         |nb AS (SELECT doc_id, pos, line, trim(line) AS lkey
+         |       FROM lines WHERE trim(line) <> ''),
+         |freq AS (SELECT lkey, count(DISTINCT doc_id) AS df FROM nb GROUP BY 1),
+         |fl AS (SELECT nb.doc_id, nb.pos, nb.line, (df >= 3) AS is_bp
+         |       FROM nb JOIN freq USING (lkey))
+         |SELECT doc_id,
+         | CAST(count(*) AS BIGINT) AS n_lines,
+         | CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+         | COALESCE(string_agg(CASE WHEN NOT is_bp THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x33_nfc_normalize" ->
+      """WITH den AS (SELECT doc_id,
+        |  text || ' cafe' || chr(769) || ' A' || chr(778) || 'vec' AS text
+        | FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS norm_text,
+        | CAST(length(text) AS BIGINT) AS len_raw,
+        | CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc
+        |FROM den ORDER BY doc_id""".stripMargin,
     "x21_tfidf_top_terms" ->
       """WITH words AS (
         | SELECT doc_id, w FROM (

@@ -919,34 +919,42 @@ object TrainingOps {
     * spark_partition_id), so the two passes cannot disagree. */
   def packSequences(docs: DataFrame, chunkTokens: Int = 2048,
                     buckets: Int = 64): DataFrame = {
+    val (plan, toks) = packSequencesPlan(docs, chunkTokens, buckets)
+    try plan.localCheckpoint(true) finally toks.unpersist()
+  }
+
+  /** The lazy second-pass plan + the cached token-count table (pass 1
+    * computes per-bucket totals from it; at corpus scale this is a
+    * written stats table), for plan dumps and cache-managing callers. */
+  private[graft] def packSequencesPlan(
+      docs: DataFrame, chunkTokens: Int = 2048,
+      buckets: Int = 64): (DataFrame, DataFrame) = {
     require(chunkTokens >= 1 && buckets >= 1)
     val nToks = when(length(trim(col("text"))) === 0, 0)
       .otherwise(size(split(trim(col("text")), "\\s+")))
     val toks = docs.select(col("doc_id"), nToks.cast(LongType).as("n_tokens"))
       .persist()
-    try {
-      val maxId = toks.agg(max("doc_id")).head().getLong(0)
-      val width = math.max(maxId / buckets + 1, 1L)
-      val withB = toks.withColumn("bucket",
-        expr(s"doc_id DIV $width").cast(LongType))
-      val sums = withB.groupBy("bucket").agg(sum("n_tokens").as("s"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      var acc = 0L
-      val prefix = sums.map { case (b, s) => val p = (b, acc); acc += s; p }.toMap
-      val w = Window.partitionBy("bucket").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val packed = withB
-        .withColumn("tok_offset",
-          element_at(typedLit(prefix), col("bucket"))
-            + sum("n_tokens").over(w) - col("n_tokens"))
-        .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
-          expr(s"tok_offset DIV $chunkTokens").as("chunk_first"),
-          expr(s"(tok_offset + n_tokens - 1) DIV $chunkTokens").as("chunk_last"))
-        .withColumn("chunks_spanned",
-          col("chunk_last") - col("chunk_first") + lit(1L))
-        .orderBy("doc_id")
-      packed.localCheckpoint(true)
-    } finally toks.unpersist()
+    val maxId = toks.agg(max("doc_id")).head().getLong(0)
+    val width = math.max(maxId / buckets + 1, 1L)
+    val withB = toks.withColumn("bucket",
+      expr(s"doc_id DIV $width").cast(LongType))
+    val sums = withB.groupBy("bucket").agg(sum("n_tokens").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val prefix = sums.map { case (b, s) => val p = (b, acc); acc += s; p }.toMap
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = withB
+      .withColumn("tok_offset",
+        element_at(typedLit(prefix), col("bucket"))
+          + sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset DIV $chunkTokens").as("chunk_first"),
+        expr(s"(tok_offset + n_tokens - 1) DIV $chunkTokens").as("chunk_last"))
+      .withColumn("chunks_spanned",
+        col("chunk_last") - col("chunk_first") + lit(1L))
+      .orderBy("doc_id")
+    (packed, toks)
   }
 
   /** Exact-quota stratified sample: a deterministic `nPer`-doc sample
@@ -971,6 +979,72 @@ object TrainingOps {
       .select(col("doc_id"), col("band"), col("nt").as("n_tokens"),
         col("rn").cast(LongType).as("rn"))
       .orderBy("band", "rn")
+  }
+
+  /** C4-style line-level boilerplate removal: a line whose TRIMMED form
+    * occurs in at least `minDocFreq` distinct documents is boilerplate
+    * (nav bars, footers, "subscribe" calls) and is dropped from every
+    * document (Raffel et al. 2020 §2.2 use the three-sentence rule).
+    * Per doc: line counts before/after and the cleaned text rebuilt in
+    * original line order. Scale shape: explode → distinct-doc count per
+    * line key (map-side combinable) → equi-join the frequency back on
+    * the line key → one groupBy(doc_id) rebuild. The frequent lines ARE
+    * the join's hot keys; AQE skew-split handles them (at extreme
+    * corpus sizes, filter the frequency table to `df >= minDocFreq`
+    * first and broadcast that small boilerplate set instead). */
+  def deboilerplate(docs: DataFrame, minDocFreq: Int = 3): DataFrame = {
+    val (plan, lines) = deboilerplatePlan(docs, minDocFreq)
+    // materialize once, then release the cached line table (same
+    // persist-boundary convention as x06/x13)
+    try plan.localCheckpoint(true) finally lines.unpersist()
+  }
+
+  /** The lazy plan + its cached exploded-lines table (the boundary
+    * you'd write as a table at corpus scale), for plan dumps and
+    * callers that manage the cache themselves. */
+  private[graft] def deboilerplatePlan(
+      docs: DataFrame, minDocFreq: Int = 3): (DataFrame, DataFrame) = {
+    // ONE explode feeds both the frequency aggregate and the join-back:
+    // without the boundary the scan+Generate chain runs twice (once per
+    // branch) — at corpus scale that is a second full pass over the data.
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+      .withColumn("lkey", trim(col("line")))
+      .persist()
+    val freq = lines.groupBy("lkey")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val out = lines.join(freq, "lkey")
+      .withColumn("is_bp", col("df") >= minDocFreq)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_boilerplate"),
+        array_join(
+          transform(
+            filter(
+              sort_array(collect_list(struct(
+                col("pos").as("pos"), col("line").as("line"),
+                col("is_bp").as("is_bp")))),
+              s => not(s.getField("is_bp"))),
+            s => s.getField("line")),
+          "\n").as("clean_text"))
+      .orderBy("doc_id")
+    (out, lines)
+  }
+
+  /** Unicode NFC canonicalization via the native codegen'd expression
+    * [[graft.expr.NfcNormalize]] — run before any fingerprint/dedup so
+    * composed and decomposed spellings hash identically. Pure per-row
+    * map; the expression short-circuits (zero-copy) on already-NFC
+    * input, which is nearly all real text. */
+  def nfcNormalize(docs: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val nfc = call_function("nfc_normalize", col("text"))
+    docs.select(col("doc_id"), nfc.as("norm_text"),
+      length(col("text")).cast(LongType).as("len_raw"),
+      length(nfc).cast(LongType).as("len_nfc"))
+      .orderBy("doc_id")
   }
 
   /** As-of join — the canonical time-series operator Spark lacks as a

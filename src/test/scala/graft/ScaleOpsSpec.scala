@@ -496,4 +496,51 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s2 = TrainingOps.stratifiedSample(docs, nPer = 25).collect()
     assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
   }
+
+  // --- boilerplate-line removal (x32) --------------------------------------
+
+  test("deboilerplate drops lines at df>=3, keeps rarer lines, preserves order") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "unique alpha\nsubscribe now\nunique beta"),
+      (2L, "subscribe now\nunique gamma"),
+      (3L, "unique delta\nsubscribe now"),
+      (4L, "rare pair\nunique epsilon"),
+      (5L, "rare pair\nunique zeta\n\n  \nunique eta") // blank + space-only lines dropped from counts
+    ).toDF("doc_id", "text")
+    val r = TrainingOps.deboilerplate(docs, minDocFreq = 3).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(r(1L).getAs[Long]("n_lines") == 3L &&
+      r(1L).getAs[Long]("n_boilerplate") == 1L &&
+      r(1L).getAs[String]("clean_text") == "unique alpha\nunique beta")
+    assert(r(2L).getAs[String]("clean_text") == "unique gamma")
+    // df=2 "rare pair" survives the df>=3 cut
+    assert(r(4L).getAs[Long]("n_boilerplate") == 0L &&
+      r(4L).getAs[String]("clean_text") == "rare pair\nunique epsilon")
+    // blank/space-only lines are neither counted nor reconstructed
+    assert(r(5L).getAs[Long]("n_lines") == 3L &&
+      r(5L).getAs[String]("clean_text") == "rare pair\nunique zeta\nunique eta")
+  }
+
+  // --- NFC normalization expression (x33) ----------------------------------
+
+  test("nfc_normalize is SQL-callable, composes decomposed sequences, zero-copy on NFC input") {
+    GraftFunctions.register(spark)
+    // SQL input is DECOMPOSED (e+U+0301, A+U+030A); output must be composed
+    val row = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301 A\u030Avec plain') AS s").head()
+    assert(row.getString(0) == "caf\u00e9 \u00c5vec plain")
+    // the fast path returns the very same UTF8String instance for
+    // already-NFC input (zero-copy identity)
+    import org.apache.spark.unsafe.types.UTF8String
+    val composed = UTF8String.fromString("caf\u00e9 plain ascii")
+    assert(graft.expr.NfcImpl.nfc(composed) eq composed)
+    val decomposed = UTF8String.fromString("cafe\u0301")
+    assert(graft.expr.NfcImpl.nfc(decomposed).toString == "caf\u00e9")
+    // interpreted eval agrees with the codegen'd path
+    val e = graft.expr.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal("cafe\u0301"))
+    assert(e.eval(null).toString == "caf\u00e9")
+  }
 }
