@@ -523,6 +523,28 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r(5L).getAs[String]("clean_text") == "rare pair\nunique zeta\nunique eta")
   }
 
+  // --- approx distinct: the 100 TB alternative for x32's exact count -------
+
+  test("approx_count_distinct tracks exact distinct within its rsd bound on corpus keys") {
+    // deboilerplate's df uses exact countDistinct (needed: the df>=3 cut
+    // is a hard threshold). For corpus-scale analytics that only need
+    // cardinality (vocabulary size, distinct-line monitoring), the HLL
+    // sketch is the scale path: fixed memory per group, one pass,
+    // merges across partitions. Pin that its error stays inside ~3x the
+    // configured rsd on real corpus keys at two cardinalities.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfMid/documents.parquet")
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+    for ((colExpr, label) <- Seq(
+        (col("w"), "distinct words"),
+        (concat_ws(":", col("w"), length(col("w"))), "salted keys"))) {
+      val exact = words.select(colExpr.as("k")).distinct().count()
+      val approx = words.agg(approx_count_distinct(colExpr, 0.02)).head().getLong(0)
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err < 0.06, s"$label: approx $approx vs exact $exact (err $err)")
+    }
+  }
+
   // --- NFC normalization expression (x33) ----------------------------------
 
   test("nfc_normalize is SQL-callable, composes decomposed sequences, zero-copy on NFC input") {
