@@ -177,6 +177,46 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"vocabulary-sized df table must broadcast back:\n$p")
   }
 
+  test("x29: LSH ANN is top-M candidates (no global sort) joined by broadcast") {
+    val p = plan("x29_ann_lsh")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Hamming top-M and final top-k must be TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the M-row candidate set must broadcast into the verify join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x30: pack pass 2 windows PER BUCKET — no single-partition global window") {
+    val (df, toks) = graft.ops.TrainingOps.packSequencesPlan(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.contains("Window"), p)
+      assert(!p.contains("SinglePartition"),
+        s"global prefix sum must not funnel through one partition:\n$p")
+      assert(p.contains("hashpartitioning(bucket"),
+        s"the running sum must partition by the bucket key:\n$p")
+    } finally toks.unpersist()
+  }
+
+  test("x32: one cached exploded-lines table feeds both the frequency agg and the join-back") {
+    val (df, lines) = graft.ops.TrainingOps.deboilerplatePlan(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      // each InMemoryTableScan prints its cached subtree, so the raw
+      // FileScan text appears once PER branch — the single-materialization
+      // pin is: both branches read InMemoryTableScans of the one
+      // InMemoryRelation, and no FileScan exists outside a cached subtree
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"both branches must read the cached line table:\n$p")
+      val plain = df.queryExecution.executedPlan.collectLeaves()
+        .count(l => !l.toString().contains("InMemoryTableScan"))
+      assert(plain == 0,
+        s"no leaf may scan the corpus outside the cached line table:\n$p")
+    } finally lines.unpersist()
+  }
+
   test("x22/x23: as-of and range joins are equi-joins, never nested loops") {
     for (n <- Seq("x22_asof_join", "x23_range_join")) {
       val p = plan(n)
