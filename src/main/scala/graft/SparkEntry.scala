@@ -339,6 +339,11 @@ object SparkEntry {
     // the portable hash — deterministic data-mixing
     "x31_stratified_sample" -> ((s, dir) =>
       TrainingOps.stratifiedSample(s.read.parquet(t(dir, "documents")))),
+    // embedding near-dup pairs via banded sign-LSH over the planted-
+    // cluster view (isotropic testdata has no near-dups at t=0.9) —
+    // candidates from 12-bit band equi-join, exact cosine verify
+    "x34_embed_neardup_pairs" -> ((s, dir) =>
+      TrainingOps.embeddingNearDupPairs(clusteredEmbeddings(s, dir), 0.9)),
     // C4-style boilerplate-line removal over the multi-line view, with
     // injected repeated lines (every doc gets a "subscribe" line, even
     // docs a "rights" line) so the df>=3 cut sees real traffic
@@ -566,7 +571,7 @@ object SparkEntry {
   // the 1e-6 quantization makes the per-plane dot exact BIGINT math, so
   // the signature is bit-for-bit portable across engines.
 
-  private def embedLshSigSql: String =
+  private def embedLshSigSqlFrom(src: String, embExpr: String): String =
     s"""SELECT vec_id, CAST(list_sum([
        |  CASE WHEN list_sum([q[d+1] *
        |    (CASE WHEN CAST(('0x' || substr(md5('hp:' || p || ':' || d), 1, 8)) AS BIGINT) % 2 = 1
@@ -575,8 +580,36 @@ object SparkEntry {
        |  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END
        |  FOR p IN range(0, 48)]) AS BIGINT) AS lsh_sig
        |FROM (SELECT vec_id,
-       |  [CAST(floor(e * 1000000) AS BIGINT) FOR e IN embedding::DOUBLE[]] AS q
-       |  FROM embeddings)""".stripMargin
+       |  [CAST(floor(e * 1000000) AS BIGINT) FOR e IN $embExpr] AS q
+       |  FROM $src)""".stripMargin
+
+  private def embedLshSigSql: String =
+    embedLshSigSqlFrom("embeddings", "embedding::DOUBLE[]")
+
+  /** Deterministic clustered-embedding view for x34: 6 planted clusters
+    * (one-hot base dim = vec_id mod 6) plus exact-rational noise
+    * ((vec_id*(7d+3)) mod 13)/100 — every component is the same IEEE
+    * double in both engines, so signatures and rounded cosines agree
+    * bit-for-bit. The real `embeddings` table is isotropic (max pairwise
+    * sim 0.513), where NO exact or approximate method finds near-dups at
+    * production thresholds — this view gives the near-dup operators real
+    * pair traffic at t=0.9 under a full DuckDB oracle. */
+  private[graft] def clusteredEmbeddings(s: SparkSession, dir: String,
+                                         dims: Int = 8): DataFrame =
+    s.read.parquet(t(dir, "embeddings")).select(col("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), d =>
+        when(d.cast("long") === pmod(col("vec_id"), lit(6L)), lit(1.0))
+          .otherwise(lit(0.0))
+          + pmod(col("vec_id") * (d.cast("long") * 7L + lit(3L)), lit(13L))
+            .cast("double") / 100.0
+      ).as("embedding"))
+
+  /** DuckDB mirror of [[clusteredEmbeddings]]. */
+  private def clustEmbCte: String =
+    "cemb AS (SELECT vec_id, " +
+      "[CAST(CASE WHEN d = vec_id % 6 THEN 1 ELSE 0 END AS DOUBLE) " +
+      "+ CAST((vec_id * (d*7+3)) % 13 AS DOUBLE) / CAST(100 AS DOUBLE) " +
+      "FOR d IN range(0, 8)] AS embedding FROM embeddings)"
 
   // --- payload features (x08/x09): mirrors Classify.payloadStats 1:1 -------
 
@@ -1160,6 +1193,23 @@ object SparkEntry {
         | FROM banded)
         |SELECT doc_id, band, nt AS n_tokens, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 25 ORDER BY band, rn""".stripMargin,
+    "x34_embed_neardup_pairs" ->
+      s"""WITH $clustEmbCte,
+         |sigs AS (${embedLshSigSqlFrom("cemb", "embedding")}),
+         |banded AS (SELECT vec_id,
+         |  unnest([{'band': b, 'key': (lsh_sig >> (b*12)) & 4095} FOR b IN range(0, 4)],
+         |         recursive := true)
+         | FROM sigs),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM banded a JOIN banded b USING (band, key)
+         |         WHERE a.vec_id < b.vec_id),
+         |scored AS (SELECT id_a, id_b,
+         |  round(list_dot_product(ea.embedding, eb.embedding) /
+         |   (sqrt(list_dot_product(ea.embedding, ea.embedding)) *
+         |    sqrt(list_dot_product(eb.embedding, eb.embedding))), 3) AS sim
+         | FROM cand JOIN cemb ea ON ea.vec_id = id_a JOIN cemb eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
     "x32_deboilerplate" ->
       s"""WITH $mlDocsCte,
          |docs2 AS (SELECT doc_id,

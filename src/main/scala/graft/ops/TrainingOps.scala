@@ -895,6 +895,53 @@ object TrainingOps {
       .limit(k)
   }
 
+  /** Embedding near-dup pairs via banded sign-LSH — the 100 TB scale
+    * path for embedding-cosine dedup: the grid epsilon-join (q14) is
+    * exact but its pruning dies in high ambient dimension, while the
+    * sign-signature route stays one-pass-per-row at any dimension.
+    * Pipeline: 48-bit signatures ([[embeddingLshSignatures]]) → split
+    * into `nBands` band keys → equi-join on (band, key) for candidates
+    * (pigeonhole over Hamming-close signatures; never all-pairs) →
+    * exact cosine verify on candidates only. Verified output has
+    * precision 1 by construction; recall is the banding trade-off and
+    * is spec-measured against brute force on clustered data. The
+    * banded signature table is persisted once (the x06 convention) so
+    * both join sides read one computation of the 48-plane projection. */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
+                            bits: Int = 48, nBands: Int = 4): DataFrame = {
+    val (plan, banded) = embeddingNearDupPairsPlan(embeddings, threshold, bits, nBands)
+    try plan.localCheckpoint(true) finally banded.unpersist()
+  }
+
+  private[graft] def embeddingNearDupPairsPlan(
+      embeddings: DataFrame, threshold: Double = 0.9,
+      bits: Int = 48, nBands: Int = 4): (DataFrame, DataFrame) = {
+    require(bits % nBands == 0, s"bits=$bits must split into $nBands bands")
+    val bandBits = bits / nBands
+    val bandMask = (1L << bandBits) - 1
+    val sigs = embeddingLshSignatures(embeddings, bits)
+    val banded = sigs.select(col("vec_id"),
+      posexplode(array((0 until nBands).map { i =>
+        call_function("shiftright", col("lsh_sig"), lit(i * bandBits))
+          .bitwiseAND(bandMask)
+      }: _*)).as(Seq("band", "key")))
+      .persist()
+    val cands = banded.select(col("band"), col("key"), col("vec_id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("vec_id").as("id_b")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val emb = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val verified = cands
+      .join(emb.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 3).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("id_a", "id_b")
+    (verified, banded)
+  }
+
   /** recall@k of the LSH ANN path vs brute force — same honesty metric
     * as [[ivfRecallAtK]]. */
   def lshRecallAtK(embeddings: DataFrame, k: Int = 20): Double = {

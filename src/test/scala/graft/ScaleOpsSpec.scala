@@ -523,6 +523,34 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r(5L).getAs[String]("clean_text") == "rare pair\nunique zeta\nunique eta")
   }
 
+  // --- banded embedding LSH near-dup (x34) ---------------------------------
+
+  test("x34 banded embedding LSH: verified pairs are a subset of truth with high recall") {
+    val emb = graft.SparkEntry.clusteredEmbeddings(spark, sfMid)
+    val got = TrainingOps.embeddingNearDupPairs(emb, 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      s = math.round(cos(vecs(i)._2, vecs(j)._2) * 1000) / 1000.0
+      if s >= 0.9
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(truth.nonEmpty, "planted clusters must contain true near-dups")
+    // exact verify on candidates → no false positives, ever
+    assert(got.subsetOf(truth), s"false positives: ${(got -- truth).take(5)}")
+    // banding recall on clustered data (the regime the op is for)
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.95, s"recall $recall under bar (got ${got.size} of ${truth.size})")
+  }
+
   // --- approx distinct: the 100 TB alternative for x32's exact count -------
 
   test("approx_count_distinct tracks exact distinct within its rsd bound on corpus keys") {
