@@ -199,6 +199,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally toks.unpersist()
   }
 
+  test("x31: stratified sample pre-prunes per partition (WindowGroupLimit, partial + final)") {
+    // with few strata the rank window has low key parallelism; the saving
+    // grace at scale is Spark's group-limit pushdown: every INPUT
+    // partition keeps only its own top-nPer per stratum before the
+    // shuffle, so the per-stratum sort never sees the full stratum
+    val p = plan("x31_stratified_sample")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"rn<=k must push a partial per-partition group limit:\n$p")
+  }
+
   test("x32: one cached exploded-lines table feeds both the frequency agg and the join-back") {
     val (df, lines) = graft.ops.TrainingOps.deboilerplatePlan(
       spark.read.parquet(s"$sfDir/documents.parquet"))
