@@ -83,8 +83,10 @@ object Bench {
       // round-3 training-ops families: decontamination, TF-IDF, as-of /
       // range joins, repetition filter, embedding LSH signatures + ANN
       "x19_decontaminate", "x21_tfidf_top_terms", "x22_asof_join",
-      "x23_range_join", "x26_repetition_stats", "x28_embed_lsh_sig",
-      "x29_ann_lsh")
+      "x23_range_join", "x26_repetition_stats", "x27_redact_pii",
+      "x28_embed_lsh_sig", "x29_ann_lsh", "x30_pack_sequences",
+      "x31_stratified_sample", "x32_deboilerplate", "x33_nfc_normalize",
+      "x34_embed_neardup_pairs")
     val qTimes = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val (_, warm) = time(fn(spark, sfDir).count()) // warm: plan + IO cache

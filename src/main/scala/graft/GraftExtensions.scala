@@ -12,6 +12,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.simhash60Descriptor)
     ext.injectFunction(GraftFunctions.nfcDescriptor)
+    ext.injectFunction(GraftFunctions.embedLshDescriptor)
   }
 }
 
@@ -29,10 +30,17 @@ object GraftFunctions {
     new ExpressionInfo(classOf[graft.expr.NfcNormalize].getName, "nfc_normalize"),
     (children: Seq[Expression]) => graft.expr.NfcNormalize(children.head))
 
+  val embedLshDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("embed_lsh_sig48"),
+    new ExpressionInfo(classOf[graft.expr.EmbedLshSig48].getName, "embed_lsh_sig48"),
+    (children: Seq[Expression]) => graft.expr.EmbedLshSig48(children.head))
+
   def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.graftshim.GraftRegistry.register(
       spark, "simhash60", simhash60Descriptor._3)
     org.apache.spark.sql.graftshim.GraftRegistry.register(
       spark, "nfc_normalize", nfcDescriptor._3)
+    org.apache.spark.sql.graftshim.GraftRegistry.register(
+      spark, "embed_lsh_sig48", embedLshDescriptor._3)
   }
 }

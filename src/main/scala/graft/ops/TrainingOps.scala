@@ -850,6 +850,26 @@ object TrainingOps {
     * (same boundary the x13 signature table uses). */
   def embeddingLshSignatures(embeddings: DataFrame, bits: Int = 48): DataFrame = {
     require(bits >= 1 && bits <= 62, s"bits=$bits out of range")
+    if (bits == EmbedLshBits) {
+      // the registered/oracled configuration runs the native codegen'd
+      // expression (one tight loop per row instead of 48 interpreted
+      // aggregate/zip_with trees — the custom-Expression tier, like
+      // simhash60); a spec pins native == column path bit-for-bit
+      graft.GraftFunctions.register(embeddings.sparkSession)
+      embeddings.select(col("vec_id"),
+        call_function("embed_lsh_sig48", col("embedding")).as("lsh_sig"))
+        .orderBy("vec_id")
+    } else {
+      embeddingLshSignaturesColumns(embeddings, bits)
+    }
+  }
+
+  val EmbedLshBits = 48
+
+  /** Pure-column formulation — the portable reference the native
+    * expression must match (and the path for non-default bit widths). */
+  private[graft] def embeddingLshSignaturesColumns(
+      embeddings: DataFrame, bits: Int): DataFrame = {
     val qe = transform(col("embedding"),
       x => floor(x.cast(DoubleType) * 1000000d).cast(LongType))
     // fold planes over a broadcast literal sign matrix; the quantized

@@ -523,6 +523,28 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r(5L).getAs[String]("clean_text") == "rare pair\nunique zeta\nunique eta")
   }
 
+  test("embed_lsh_sig48 native expression matches the column formulation bit-for-bit") {
+    def sigsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // array<float> (the parquet table) and array<double> (derived views)
+    val emb = spark.read.parquet(s"$sfMid/embeddings.parquet")
+    assert(sigsOf(TrainingOps.embeddingLshSignatures(emb)) ==
+      sigsOf(TrainingOps.embeddingLshSignaturesColumns(emb, 48)))
+    val cemb = graft.SparkEntry.clusteredEmbeddings(spark, sfMid)
+    assert(sigsOf(TrainingOps.embeddingLshSignatures(cemb)) ==
+      sigsOf(TrainingOps.embeddingLshSignaturesColumns(cemb, 48)))
+    // SQL-callable; interpreted eval agrees with the codegen'd path
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT embed_lsh_sig48(array(CAST(0.5 AS DOUBLE), CAST(-0.25 AS DOUBLE))) AS s")
+      .head().getLong(0)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = graft.expr.EmbedLshSig48(
+      Literal.create(Seq(0.5d, -0.25d), ArrayType(DoubleType)))
+    assert(e.eval(null) == viaSql)
+  }
+
   // --- banded embedding LSH near-dup (x34) ---------------------------------
 
   test("x34 banded embedding LSH: verified pairs are a subset of truth with high recall") {
