@@ -21,20 +21,45 @@ object Language {
     "more", "has", "was", "were", "can", "said", "out", "use", "into",
     "some", "than", "other", "time", "now", "only", "like", "just")
 
+  // each pattern paired with its literal stem: the patterns are
+  // case-SENSITIVE and run against textLower itself, so
+  // textLower.contains(stem) is an exactly-necessary condition — the
+  // regex only runs when the stem is present (a "makan" false positive
+  // just means one confirming regex scan)
   private val idPatterns =
-    Vector("\\bakan\\s+\\w+\\b", "\\bsedang\\s+\\w+\\b", "\\btelah\\s+\\w+\\b").map(compile(_))
+    Vector("akan" -> "\\bakan\\s+\\w+\\b", "sedang" -> "\\bsedang\\s+\\w+\\b",
+      "telah" -> "\\btelah\\s+\\w+\\b").map { case (s, p) => (s, compile(p)) }
   private val enPatterns =
-    Vector("\\bwill\\s+\\w+\\b", "\\bhave\\s+\\w+\\b", "\\bhas\\s+\\w+\\b").map(compile(_))
+    Vector("will" -> "\\bwill\\s+\\w+\\b", "have" -> "\\bhave\\s+\\w+\\b",
+      "has" -> "\\bhas\\s+\\w+\\b").map { case (s, p) => (s, compile(p)) }
 
   def detectLanguage(text: String): String = {
     if (text == null || text.isEmpty || Py.len(text) < 20) return "unknown"
     val textLower = " " + lower(text) + " "
-    val idCount = idKeywords.count(w => textLower.contains(s" $w "))
-    val enCount = enKeywords.count(w => textLower.contains(s" $w "))
+    // One segment pass replaces 90 substring scans. Exactly equivalent:
+    // textLower.contains(" w ") ⟺ w appears between two adjacent space
+    // chars ⟺ w is a (non-empty) segment between consecutive ' '
+    // positions of the padded text — every adjacent space pair forms a
+    // window, so " a a " yields both "a" occurrences, and multi-space
+    // runs yield the same empty segments contains() would skip.
+    val segments = new java.util.HashSet[String](64)
+    var prev = textLower.indexOf(' ')
+    while (prev >= 0) {
+      val next = textLower.indexOf(' ', prev + 1)
+      if (next < 0) prev = -1
+      else {
+        if (next > prev + 1) segments.add(textLower.substring(prev + 1, next))
+        prev = next
+      }
+    }
+    val idCount = idKeywords.count(segments.contains)
+    val enCount = enKeywords.count(segments.contains)
     var idScore = idCount.toDouble / idKeywords.length
     var enScore = enCount.toDouble / enKeywords.length
-    idScore += idPatterns.count(p => search(p, textLower).isDefined) * 0.1
-    enScore += enPatterns.count(p => search(p, textLower).isDefined) * 0.1
+    idScore += idPatterns.count { case (stem, p) =>
+      textLower.contains(stem) && search(p, textLower).isDefined } * 0.1
+    enScore += enPatterns.count { case (stem, p) =>
+      textLower.contains(stem) && search(p, textLower).isDefined } * 0.1
     if (idScore > 0.15 && idScore > enScore) "id"
     else if (enScore > 0.15) "en"
     else {

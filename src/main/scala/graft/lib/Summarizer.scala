@@ -31,9 +31,13 @@ object Summarizer {
     if (len(text) < 100) return sliceTo(text, maxLength)
 
     val sentences = splitSentences(text)
+    // Tokenize each sentence ONCE (lower + word findall were previously
+    // recomputed in the scoring loop — pure caching, identical values).
+    val lowered = sentences.map(lower)
+    val sentWords = lowered.map(findall(pWordAZ, _))
     // Word frequency over all sentences (stopwords excluded from counts).
     val wordCounts = scala.collection.mutable.HashMap.empty[String, Int]
-    for (sentence <- sentences; w <- findall(pWordAZ, lower(sentence)))
+    for (words <- sentWords; w <- words)
       if (!simpleStopwords.contains(w)) wordCounts(w) = wordCounts.getOrElse(w, 0) + 1
 
     // Scores in ascending-index insertion order (ties stay index-ordered
@@ -46,14 +50,14 @@ object Summarizer {
         if (i == 0) score += 5
         else if (i == sentences.length - 1) score += 3
         else if (i < sentences.length * 0.1) score += 2
-        val words = findall(pWordAZ, lower(sentence))
+        val words = sentWords(i)
         if (words.nonEmpty) {
           val ws = words.iterator
             .filter(w => !simpleStopwords.contains(w))
             .map(w => wordCounts.getOrElse(w, 0)).sum.toDouble / words.length
           score += ws
         }
-        val sl = lower(sentence)
+        val sl = lowered(i)
         if (keyTerms.exists(sl.contains)) score += 3
         scored += ((i, score))
       }
