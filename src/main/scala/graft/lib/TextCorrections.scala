@@ -62,6 +62,17 @@ object TextCorrections {
     * so a bare UTF-16 char filter would leave lone surrogates
     * (text_processing.py:92; SURVEY.md §1.3). */
   def bmpFilter(s: String): String = {
+    // fast path: astral code points require surrogate units; without any
+    // the filter is the identity (lone surrogates take the slow path,
+    // where codePointAt yields the unit itself < 65536 → kept, as before)
+    var j = 0
+    var hasSurrogate = false
+    while (j < s.length && !hasSurrogate) {
+      val c = s.charAt(j)
+      if (c >= 0xD800 && c <= 0xDFFF) hasSurrogate = true
+      j += 1
+    }
+    if (!hasSurrogate) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -70,6 +81,74 @@ object TextCorrections {
       i += Character.charCount(cp)
     }
     sb.toString
+  }
+
+  // --- literal-prerequisite gates for the head passes -----------------------
+  // Each gate is an EXACT necessary condition for its (case-sensitive)
+  // pattern to match the same string, so a false gate skips only
+  // identity rewrites; all classes below are the translated pattern's
+  // own classes (\d → \p{Nd} ≡ Character.isDigit; [a-zA-Z0-9.!?,:;]
+  // literal ASCII).
+
+  private def hasBulletChar(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '*' || c == '+' || c == '-' || c == '‣' || c == '▪' ||
+        c == '•' || c == '●' || c == '·') return true
+      i += 1
+    }
+    false
+  }
+
+  private def hasNd(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (Character.isDigit(s.charAt(i))) return true; i += 1 }
+    false
+  }
+
+  /** Any zero-width boundary pSpacingBoundary would match: aA, letter→Nd,
+    * Nd→letter adjacency (letter = ASCII [a-zA-Z], the pattern's class). */
+  private def hasSpacingAdjacency(s: String): Boolean = {
+    var i = 1
+    while (i < s.length) {
+      val a = s.charAt(i - 1); val b = s.charAt(i)
+      val aLower = a >= 'a' && a <= 'z'
+      val bUpper = b >= 'A' && b <= 'Z'
+      if (aLower && bUpper) return true
+      val aLetter = aLower || (a >= 'A' && a <= 'Z')
+      val bLetter = bUpper || (b >= 'a' && b <= 'z')
+      if ((aLetter && Character.isDigit(b)) || (Character.isDigit(a) && bLetter))
+        return true
+      i += 1
+    }
+    false
+  }
+
+  private def hasPunctCapAdjacency(s: String): Boolean = {
+    var i = 1
+    while (i < s.length) {
+      val a = s.charAt(i - 1)
+      if (a == '.' || a == '!' || a == '?' || a == ',' || a == ':' || a == ';') {
+        val b = s.charAt(i)
+        if ((b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')) return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  private def hasLowerUpperAdjacency(s: String): Boolean = {
+    var i = 1
+    while (i < s.length) {
+      val a = s.charAt(i - 1)
+      if (a >= 'a' && a <= 'z') {
+        val b = s.charAt(i)
+        if (b >= 'A' && b <= 'Z') return true
+      }
+      i += 1
+    }
+    false
   }
 
   /** Shared correction head (text_processing.py:88-122) — BMP filter,
@@ -82,19 +161,22 @@ object TextCorrections {
     // ''→" ,,→" `→' rewrites have effect; text_processing.py:94-97)
     t = t.replace("''", "\"").replace(",,", "\"")
     t = t.replace("`", "'")
-    t = subLit(pBullet, "\u2022 ", t)
+    if (hasBulletChar(t)) t = subLit(pBullet, "\u2022 ", t)
     // Fused digit-context confusion pass: equivalent to the reference's
     // six sequential re.sub calls (text_processing.py:103-108) — the
     // lookarounds require digits on BOTH sides, so adjacent confusable
     // letters never match in either form and the passes are independent.
-    t = fixDigitConfusions(t)
+    if (hasNd(t)) t = fixDigitConfusions(t)
     // Fused spacing pass ≡ the three zero-width inserts at :111-113 —
     // a boundary can satisfy at most one alternative, and inserting a
     // space never creates/destroys a boundary another pass would see.
-    t = sub(pSpacingBoundary, " ", t)
-    t = sub(pMultiSpace, " ", t)
-    t = sub(pPunctCap, "$1 $2", t)
-    t = sub(pMerged, "$1 $2", t)
+    // Gated: each gate is an exact necessary condition on this string.
+    if (hasSpacingAdjacency(t)) t = sub(pSpacingBoundary, " ", t)
+    // " +" rewrites every SINGLE space to itself — without a double
+    // space the pass is the identity, so gate on "  "
+    if (t.contains("  ")) t = sub(pMultiSpace, " ", t)
+    if (hasPunctCapAdjacency(t)) t = sub(pPunctCap, "$1 $2", t)
+    if (hasLowerUpperAdjacency(t)) t = sub(pMerged, "$1 $2", t)
     t
   }
 
@@ -103,8 +185,10 @@ object TextCorrections {
   def postProcessText(text: String, imageType: String): String = {
     if (text == null || text.isEmpty) return ""
     var t = postProcessHead(text)
-    t = sub(pManyNl, "\n\n", t)
-    t = sub(pHyphenNl, "$1$2", t)
+    // exact literal prerequisites: \n{3,} needs a triple newline,
+    // (\w+)-\n(\w+) needs the "-\n" pair
+    if (t.contains("\n\n\n")) t = sub(pManyNl, "\n\n", t)
+    if (t.contains("-\n")) t = sub(pHyphenNl, "$1$2", t)
     val kind = if (imageType == null) "" else lower(imageType)
     if (kind.contains("receipt")) t = fixReceiptText(t)
     else if (kind.contains("id_card")) t = fixIdCardText(t)
