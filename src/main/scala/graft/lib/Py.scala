@@ -308,6 +308,32 @@ object Py {
   val M: Int = Pattern.MULTILINE
   val S: Int = Pattern.DOTALL
 
+  /** Java-regex CASE_INSENSITIVE|UNICODE_CASE single-char equivalence
+    * class representative: Pattern's case-insensitive single matcher
+    * tests `toLowerCase(toUpperCase(cp))` equality, so input cp can
+    * match an ASCII pattern letter p iff regexCiFold(cp) == p.
+    * (Exhaustively spec-pinned over the BMP + case-mapped astral
+    * blocks — used only to GATE case-insensitive literal scans.) */
+  def regexCiFold(cp: Int): Int = Character.toLowerCase(Character.toUpperCase(cp))
+
+  /** Per-codepoint CI fold of a string (length can change only via
+    * surrogate pairs folding to BMP, never per-codepoint expansion —
+    * Character case maps are 1:1). ASCII fast path. */
+  def foldForCi(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (i < s.length && ascii) { if (s.charAt(i) >= 128) ascii = false; i += 1 }
+    if (ascii) return s.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(s.length)
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      sb.appendCodePoint(regexCiFold(cp))
+      j += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
   /** re.sub(pattern, repl, s) with repl already in Java `$n` form. */
   def sub(p: Pattern, repl: String, s: String): String = p.matcher(s).replaceAll(repl)
 

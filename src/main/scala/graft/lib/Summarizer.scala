@@ -138,6 +138,18 @@ object Summarizer {
     "increase|decrease|improve|reduce|enhance|cause"
   ).map(compile(_, I))
 
+  /** Per-pattern literal stems: pattern k can only match a sentence
+    * whose CI-fold (Py.foldForCi — the exact Java-regex fold, spec-
+    * pinned) contains one of gates(k). Every alternative of every
+    * pattern contains one of its stems as a contiguous literal (no \s
+    * or . spans inside a stem), so a failed gate skips only a
+    * guaranteed-non-matching regex scan. */
+  private val insightGates = Vector(
+    Vector("key", "main", "important", "significant", "critical"),
+    Vector("summar", "conclu", "therefore"),
+    Vector("must", "should", "need", "have"),
+    Vector("increase", "decrease", "improve", "reduce", "enhance", "cause"))
+
   def extractKeyInsights(text: String): Vector[String] = {
     val sentences = splitSentences(text)
     val insights = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -145,7 +157,10 @@ object Summarizer {
     var done = false
     while (it.hasNext && !done) {
       val sentence = it.next()
-      if (insightPatterns.exists(p => search(p, sentence).isDefined))
+      val folded = Py.foldForCi(sentence)
+      if (insightPatterns.indices.exists(k =>
+        insightGates(k).exists(folded.contains) &&
+          search(insightPatterns(k), sentence).isDefined))
         insights += sentence
       if (insights.length >= 5) done = true
     }

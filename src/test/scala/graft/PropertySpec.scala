@@ -95,4 +95,35 @@ class PropertySpec extends AnyFunSuite {
       assert(a.map(_.text) == b.map(_.text))
     }
   }
+
+  test("regexCiFold == Java regex CI|UNICODE_CASE literal matching, exhaustively") {
+    // Soundness pin for the insight-pattern gates (Summarizer): a gate
+    // may skip the CI regex only if NO input codepoint can match the
+    // ASCII stem letters. Java's case-insensitive literal nodes test
+    // toLowerCase(toUpperCase(c)) equality — assert our fold agrees
+    // with the real matcher over the whole BMP and the case-mapped
+    // astral blocks, both directions, for every ASCII letter.
+    import java.util.regex.Pattern
+    val pats = ('a' to 'z').map(c =>
+      c -> Pattern.compile(c.toString,
+        Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)).toArray
+    val ranges = Seq((0x0, 0xD7FF), (0xE000, 0xFFFF), (0x10000, 0x110FF),
+      (0x16E40, 0x16E7F), (0x1E900, 0x1E9FF))
+    var checked = 0L
+    for ((lo, hi) <- ranges; cp <- lo to hi) {
+      val s = new String(Character.toChars(cp))
+      val fold = Py.regexCiFold(cp)
+      var k = 0
+      while (k < pats.length) {
+        val (p, pat) = pats(k)
+        val m = pat.matcher(s).matches()
+        val foldEq = fold == p.toInt
+        assert(m == foldEq,
+          f"cp=U+$cp%04X vs '$p': regex=$m foldEq=$foldEq")
+        k += 1
+        checked += 1
+      }
+    }
+    assert(checked > 1700000L)
+  }
 }
