@@ -29,12 +29,21 @@ object Formatters {
     // lazily in decision order and hand-fused where the regex is
     // line-anchored — identical results, fewer full-string scans
     // (this runs twice per turn on the live path).
+    // each count's regex is gated on an exact literal prerequisite of
+    // its (case-sensitive) pattern \u2014 a false gate means 0 matches
     lazy val bulletCount = countLineStarts(text, c => c == '\u2022' || c == '-' || c == '*' || c == '+')
     lazy val numberedCount = countNumberedLineStarts(text)
-    lazy val tableRowCount = countMatches(pTableRow, text)
-    lazy val formFieldCount = countMatches(pFormField, text)
-    lazy val headerCount = countMatches(pHeaderLine, text)
-    lazy val paragraphCount = countMatches(pParaBreak, text)
+    lazy val tableRowCount =
+      if (text.indexOf('|') < 0) 0 else countMatches(pTableRow, text)
+    lazy val formFieldCount =
+      if (text.indexOf(':') < 0) 0 else countMatches(pFormField, text)
+    lazy val headerCount =
+      if (!hasAsciiUpper(text)) 0 else countMatches(pHeaderLine, text)
+    lazy val paragraphCount = {
+      val first = text.indexOf('\n')
+      if (first < 0 || text.indexOf('\n', first + 1) < 0) 0
+      else countMatches(pParaBreak, text)
+    }
     lazy val formulaCount = countFormulaHits(text)
 
     val lines = splitLines(text)
@@ -53,6 +62,16 @@ object Formatters {
   }
 
   /** count of `(?:^|\n)<c>` matches — one per line starting with c. */
+  private def hasAsciiUpper(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') return true
+      i += 1
+    }
+    false
+  }
+
   private def countLineStarts(text: String, isMark: Char => Boolean): Int = {
     var n = 0
     var i = 0
