@@ -344,6 +344,10 @@ object SparkEntry {
     // candidates from 12-bit band equi-join, exact cosine verify
     "x34_embed_neardup_pairs" -> ((s, dir) =>
       TrainingOps.embeddingNearDupPairs(clusteredEmbeddings(s, dir), 0.9)),
+    // multimodal frame sampling: payload -> 8 evenly spaced binary
+    // windows, md5 fingerprint per frame (explode-before-decode shape)
+    "x35_frame_sample" -> ((s, dir) =>
+      TrainingOps.frameSample(s.read.parquet(t(dir, "documents")))),
     // C4-style boilerplate-line removal over the multi-line view, with
     // injected repeated lines (every doc gets a "subscribe" line, even
     // docs a "rights" line) so the df>=3 cut sees real traffic
@@ -1193,6 +1197,13 @@ object SparkEntry {
         | FROM banded)
         |SELECT doc_id, band, nt AS n_tokens, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 25 ORDER BY band, rn""".stripMargin,
+    "x35_frame_sample" ->
+      """SELECT doc_id,
+        | CAST(k AS BIGINT) AS frame_idx,
+        | CAST(k * length(text) // 8 AS BIGINT) AS frame_off,
+        | md5(substr(text, k * length(text) // 8 + 1, 16)) AS frame_fp
+        |FROM documents, unnest(range(0, 8)) t(k)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "x34_embed_neardup_pairs" ->
       s"""WITH $clustEmbCte,
          |sigs AS (${embedLshSigSqlFrom("cemb", "embedding")}),

@@ -1182,6 +1182,29 @@ object TrainingOps {
 
   // --- misc relational showcases ----------------------------------------------
 
+  /** Multimodal frame sampling: one media payload → `frames` evenly
+    * spaced sample rows (the video analog of x05's decode plumbing:
+    * explode the cheap (offset, window) plan BEFORE the heavy per-frame
+    * decode, so frame work parallelizes beyond the document count and
+    * partition sizing follows frames, not documents). Offsets are
+    * byte-exact (off_k = k·n DIV frames), the sampled window is a
+    * binary slice, and the per-frame fingerprint is md5 of that slice —
+    * the decode stand-in (codecs are not in this container), fully
+    * DuckDB-oracled since the testdata payload bytes are ASCII. */
+  def frameSample(docs: DataFrame, frames: Int = 8, window: Int = 16): DataFrame = {
+    require(frames >= 1 && window >= 1)
+    docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), lit(frames - 1))).as("frame_idx"))
+      .withColumn("frame_off",
+        expr("frame_idx * length(payload) DIV " + frames).cast(LongType))
+      .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+        col("frame_off"),
+        expr(s"md5(substring(payload, frame_off + 1, $window))").as("frame_fp"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Sessionize events: new session when gap > 30 min (lag + cumulative
     * sum of boundary flags — the same conditional-cumsum shape as the
     * reference's paragraph grouping, SURVEY.md §2.5). */

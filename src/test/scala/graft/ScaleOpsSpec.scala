@@ -573,6 +573,29 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.95, s"recall $recall under bar (got ${got.size} of ${truth.size})")
   }
 
+  // --- multimodal frame sampling (x35) -------------------------------------
+
+  test("frameSample: evenly spaced binary windows with exact offsets and fingerprints") {
+    val ss = spark
+    import ss.implicits._
+    val text = ('a' to 'z').mkString * 4 // 104 bytes of ASCII
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val r = TrainingOps.frameSample(docs, frames = 4, window = 16).collect()
+    assert(r.length == 4)
+    val offs = r.map(_.getAs[Long]("frame_off")).toSeq
+    assert(offs == Seq(0L, 26L, 52L, 78L)) // k*104 DIV 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp(off: Int): String =
+      md.digest(text.substring(off, off + 16).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    for ((row, k) <- r.zipWithIndex)
+      assert(row.getAs[String]("frame_fp") == fp(offs(k).toInt), s"frame $k")
+    // short payload: windows clamp at the end, never error
+    val short = Seq((1L, "tiny")).toDF("doc_id", "text")
+    val rs = TrainingOps.frameSample(short, frames = 4, window = 16).collect()
+    assert(rs.length == 4 && rs.forall(_.getAs[String]("frame_fp").nonEmpty))
+  }
+
   // --- approx distinct: the 100 TB alternative for x32's exact count -------
 
   test("approx_count_distinct tracks exact distinct within its rsd bound on corpus keys") {
