@@ -79,12 +79,12 @@ object Bench {
     val repl = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPL", "80").toInt
 
     // --- headline queries at hi parallelism -------------------------------
-    val spark = newSession(hi)
     // q14 (grid cosine pairs) is deliberately NOT in the headline: at the
     // registered loose threshold (0.45) the candidate set is inherently
     // close to all-pairs (see TrainingOps.cosineNearDupPairs scale note),
     // which makes it minutes at sf0.1 — correctness is oracle-gated
-    // instead.
+    // instead (its grid operating point IS measured: q14_candidate_ratio
+    // below).
     val headline = Seq(
       "q01_pushdown_agg", "q03_join_nation_revenue", "q05_word_freq",
       "q09_dedup_exact", "q11_minhash_signature", "q13_ann_brute",
@@ -99,13 +99,35 @@ object Bench {
       "x23_range_join", "x26_repetition_stats", "x27_redact_pii",
       "x28_embed_lsh_sig", "x29_ann_lsh", "x30_pack_sequences",
       "x31_stratified_sample", "x32_deboilerplate", "x33_nfc_normalize",
-      "x34_embed_neardup_pairs")
-    val qTimes = headline.map { name =>
+      "x34_embed_neardup_pairs",
+      // round-4: star components, clustered-regime ANN, session_window
+      "x36_ann_clustered", "x37_dup_components_star", "x38_session_window")
+    // One query pass = best-of-2 trials per query (warm covers plan + IO
+    // cache). The OFFICIAL number is the min across TWO passes separated
+    // by the multi-minute scaling phase: BENCH_r03's single back-to-back
+    // pass sat entirely inside one sustained host-load window and
+    // overstated the dedup family ~10x (x13 recorded 21.25s vs 1.95s on
+    // a quiet host — VERDICT r03 "What's wrong" #1). Two passes far
+    // apart in time can't both be inside the same load window.
+    def queryPass(spark: SparkSession): Map[String, Double] = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val (_, warm) = time(fn(spark, sfDir).count()) // warm: plan + IO cache
       val (_, sec) = time(fn(spark, sfDir).count())
       name -> math.min(warm, sec)
-    }
+    }.toMap
+    val spark = newSession(hi)
+    val qPass1 = queryPass(spark)
+    // q14 grid operating-point telemetry, machine-diffable across rounds
+    // (VERDICT r03 next #9): candidate comparisons the grid epsilon-join
+    // performs at the registered threshold, as a fraction of brute-force
+    // all-pairs (1.0 = degrades gracefully to exactly brute on isotropic
+    // data; the half-neighborhood construction caps it at 1.0).
+    val q14Ratio = try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n = emb.count()
+      val brute = math.max(n * (n - 1) / 2, 1L)
+      graft.ops.TrainingOps.gridCandidateCount(emb, 0.45).toDouble / brute
+    } catch { case _: Throwable => -1.0 }
 
     // --- extraction throughput at three parallelism levels -----------------
     // Two N→4N pairs: (lo2 → lo) is the scale-out proxy — both levels sit
@@ -157,15 +179,27 @@ object Bench {
     }
     // three rounds minimum: an odd count gives a true median (two
     // rounds average a pair that can spread 0.76-0.95 under shared-host
-    // load). If the paired ratio still looks load-skewed, interleave up
-    // to 2 more — every level gets the same extra trials, so this is
-    // more measurement, not selective reporting.
+    // load). Extra rounds are gated on the round-to-round SPREAD of the
+    // paired ratios — a load-variance signal — NOT on the efficiency
+    // value itself: stopping "as soon as the number looks good" is
+    // optional stopping conditioned on the reported metric and biases
+    // it upward (ADVICE r03). A wide spread means some round saw a load
+    // window, so every level gets the same extra trials.
     round(); round(); round()
+    def spread(): Double = roundEffs.max - roundEffs.min
     var extra = 0
-    while (medianEff() < 0.85 && extra < 2) { round(); extra += 1 }
+    while (spread() > 0.12 && extra < 2) { round(); extra += 1 }
     val (nHi, tHi) = best(hi)
     val (nLo, tLo) = best(lo)
     val (nLo2, tLo2) = best(lo2)
+
+    // second query pass, minutes after the first (the scaling phase ran
+    // in between) — official per-query time = min across the two passes
+    val spark2 = newSession(hi)
+    val qPass2 = queryPass(spark2)
+    spark2.stop()
+    val qTimes = headline.map(name =>
+      name -> math.min(qPass1(name), qPass2(name)))
 
     val thrHi = nHi / tHi
     val thrLo = nLo / tLo
@@ -181,10 +215,12 @@ object Bench {
         s""""throughput_lo":${f(thrLo2)},"throughput_mid":${f(thrLo)},"throughput_hi":${f(thrHi)},""" +
         s""""efficiency":${f(effScaleOut)},"efficiency_pair":"${lo2}to$lo",""" +
         s""""efficiency_rounds":[${roundEffs.map(f).mkString(",")}],""" +
+        s""""efficiency_round_spread":${f(spread())},""" +
         s""""efficiency_singlebox_${lo}to$hi":${f(effSingleBox)},"n_turns":$nHi}"""
     val json =
       s"""{"metric":"turns-extracted/sec","value":${f(thrHi)},"unit":"turns/sec",""" +
-        s""""queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
+        s""""queries":$qs,"q14_candidate_ratio":${f(q14Ratio)},""" +
+        s""""sf":"$sfDir","scaling":$scaling}"""
     println(json)
     // The metric line above reaches the driver through sbt's logger, which
     // prefixes it with "[info] " and defeats JSON parsing (round-1 BENCH had

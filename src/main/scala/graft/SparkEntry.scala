@@ -348,6 +348,30 @@ object SparkEntry {
     // windows, md5 fingerprint per frame (explode-before-decode shape)
     "x35_frame_sample" -> ((s, dir) =>
       TrainingOps.frameSample(s.read.parquet(t(dir, "documents")))),
+    // ANN in the production regime: the same LSH candidate->verify path
+    // as x29, over the planted-cluster view where neighbors actually
+    // exist (x29's isotropic testdata gives recall 0.70 over a 0.30
+    // random floor; here the spec pins recall@20 >= 0.9 — VERDICT r03
+    // next #3). Fully deterministic -> full DuckDB oracle.
+    "x36_ann_clustered" -> ((s, dir) =>
+      TrainingOps.annLsh(clusteredEmbeddings(s, dir))),
+    // dedup components through the O(log n) large-star/small-star
+    // contraction — same pairs, same recursive-CTE oracle as x14, so
+    // the adversarial-graph variant carries driver-side evidence too
+    "x37_dup_components_star" -> ((s, dir) =>
+      TrainingOps.dupComponentsStar(s.read.parquet(t(dir, "documents")))),
+    // native session_window sessionization, batch-shaped (the streaming
+    // operator's exact semantics — boundary-inclusive 1800s merge — on
+    // a bounded frame, so the driver's DuckDB gap-split oracle
+    // exercises it; VERDICT r03 next #5)
+    "x38_session_window" -> ((s, dir) =>
+      graft.streaming.StreamingPipeline
+        .sessionCounts(s.read.parquet(t(dir, "events")), watermark = None)
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("session_start_s"),
+          unix_timestamp(col("session_end")).as("session_end_s"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_s")),
     // C4-style boilerplate-line removal over the multi-line view, with
     // injected repeated lines (every doc gets a "subscribe" line, even
     // docs a "rights" line) so the df>=3 cut sees real traffic
@@ -590,6 +614,25 @@ object SparkEntry {
   private def embedLshSigSql: String =
     embedLshSigSqlFrom("embeddings", "embedding::DOUBLE[]")
 
+  /** LSH ANN oracle (Hamming top-150 candidates → exact cosine top-20),
+    * parameterized over the source table so x29 (raw embeddings) and
+    * x36 (planted-cluster view) share one text. `cast` is the per-use
+    * element cast suffix ("::DOUBLE[]" for the float table, "" for the
+    * already-double view). */
+  private def annLshOracleSqlFrom(src: String, cast: String,
+                                  prefix: String = ""): String =
+    s"""WITH ${prefix}sigs AS (${embedLshSigSqlFrom(src, "embedding" + cast)}),
+       |q AS (SELECT vec_id AS qid, lsh_sig AS qsig FROM sigs ORDER BY vec_id LIMIT 1),
+       |qv AS (SELECT embedding$cast AS qvec FROM $src ORDER BY vec_id LIMIT 1),
+       |cand AS (SELECT vec_id FROM sigs, q WHERE vec_id <> qid
+       |         ORDER BY bit_count(xor(lsh_sig, qsig)), vec_id LIMIT 150)
+       |SELECT e.vec_id AS vec_id,
+       | round(list_dot_product(e.embedding$cast, qvec) /
+       |  (sqrt(list_dot_product(e.embedding$cast, e.embedding$cast)) *
+       |   sqrt(list_dot_product(qvec, qvec))), 3) AS sim
+       |FROM $src e JOIN cand USING (vec_id) CROSS JOIN qv
+       |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin
+
   /** Deterministic clustered-embedding view for x34: 6 planted clusters
     * (one-hot base dim = vec_id mod 6) plus exact-rational noise
     * ((vec_id*(7d+3)) mod 13)/100 — every component is the same IEEE
@@ -790,6 +833,24 @@ object SparkEntry {
        |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
        | FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)""".stripMargin
   }
+
+  /** Recursive-CTE connected components over the jaccard near-dup pairs
+    * — ONE oracle text shared by x14 (min-label propagation) and x37
+    * (star contraction): both Spark implementations must land on the
+    * identical component table. */
+  private def dupComponentsOracleSql: String =
+    s"""WITH RECURSIVE $jaccardCoreCtes,
+       |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+       |edges AS (
+       | SELECT id_a AS a, id_b AS b FROM pairs
+       | UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       | SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT comp AS component, count(*) AS n_docs, max(id) AS max_doc FROM (
+       | SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+       |GROUP BY comp ORDER BY component""".stripMargin
 
   private def langIdSql: String = {
     val idPresence = graft.lib.Language.idKeywords
@@ -1052,23 +1113,16 @@ object SparkEntry {
       s"""WITH $jaccardCoreCtes
          |SELECT id_a, id_b, jaccard FROM jac
          |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
-    "x14_dup_components" ->
-      s"""WITH RECURSIVE $jaccardCoreCtes,
-         |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
-         |edges AS (
-         | SELECT id_a AS a, id_b AS b FROM pairs
-         | UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         | SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
-         | UNION
-         | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-         |SELECT comp AS component, count(*) AS n_docs, max(id) AS max_doc FROM (
-         | SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
-         |GROUP BY comp ORDER BY component""".stripMargin,
+    "x14_dup_components" -> dupComponentsOracleSql,
+    // the star-contraction variant computes the SAME components — one
+    // oracle text, two independent Spark implementations checked by it
+    "x37_dup_components_star" -> dupComponentsOracleSql,
     "x12_block_spans" -> blockSpansOracleSql(),
     "x19_decontaminate" -> {
+      // 15 hex digits = the 60-bit portable prefix (collision-safe at
+      // corpus scale; mirrors TrainingOps.decontaminate, ADVICE r03)
       val grams =
-        s"""list_distinct([CAST(('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 8)) AS BIGINT)
+        s"""list_distinct([CAST(('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 15)) AS BIGINT)
            | FOR i IN range(1, greatest(len(toks)-12, 1)+1)])""".stripMargin
       s"""WITH tok AS (
          | SELECT doc_id, regexp_split_to_array($normSql, ' ') AS toks FROM documents),
@@ -1157,18 +1211,32 @@ object SparkEntry {
     "x28_embed_lsh_sig" ->
       s"""WITH sigs AS ($embedLshSigSql)
          |SELECT vec_id, lsh_sig FROM sigs ORDER BY vec_id""".stripMargin,
-    "x29_ann_lsh" ->
-      s"""WITH sigs AS ($embedLshSigSql),
-         |q AS (SELECT vec_id AS qid, lsh_sig AS qsig FROM sigs ORDER BY vec_id LIMIT 1),
-         |qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings ORDER BY vec_id LIMIT 1),
-         |cand AS (SELECT vec_id FROM sigs, q WHERE vec_id <> qid
-         |         ORDER BY bit_count(xor(lsh_sig, qsig)), vec_id LIMIT 150)
-         |SELECT e.vec_id AS vec_id,
-         | round(list_dot_product(e.embedding::DOUBLE[], qvec) /
-         |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-         |   sqrt(list_dot_product(qvec, qvec))), 3) AS sim
-         |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv
-         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    "x29_ann_lsh" -> annLshOracleSqlFrom("embeddings", "::DOUBLE[]"),
+    // same candidate->verify ANN text over the planted-cluster view —
+    // the production regime where neighbors exist (recall spec >= 0.9)
+    "x36_ann_clustered" -> annLshOracleSqlFrom("cemb", "", s"$clustEmbCte,\n"),
+    // batch-shaped session_window: sessions split where the
+    // second-truncated gap exceeds 1800s (Spark's merge is
+    // boundary-inclusive, so gap == 1800 CONTINUES a session — the q19
+    // rule); window end = last event + gap
+    "x38_session_window" ->
+      """SELECT user_id, CAST(min_ts AS BIGINT) AS session_start_s,
+        | CAST(max_ts + 1800 AS BIGINT) AS session_end_s, n_events
+        |FROM (
+        | SELECT user_id, session_id, min(tse) AS min_ts, max(tse) AS max_ts,
+        |  count(*) AS n_events
+        | FROM (
+        |  SELECT user_id, tse,
+        |   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tse, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |   SELECT user_id, event_id, floor(epoch(ts)) AS tse,
+        |    floor(epoch(ts)) - lag(floor(epoch(ts)))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |   FROM events))
+        | GROUP BY 1, 2)
+        |ORDER BY user_id, session_start_s""".stripMargin,
     "x30_pack_sequences" ->
       """WITH toks AS (SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

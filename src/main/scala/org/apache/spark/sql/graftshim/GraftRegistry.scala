@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Minimal bridge into the session's FunctionRegistry (private[sql]),
@@ -10,8 +11,16 @@ object GraftRegistry {
   def register(
       spark: SparkSession,
       name: String,
-      builder: Seq[Expression] => Expression): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      builder: Seq[Expression] => Expression): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "built-in")
+    // Register once per session: createOrReplaceTempFunction logs a
+    // "replacing built-in function" WARN on every re-registration, and
+    // TrainingOps calls this before each native-expression use — the
+    // spam buried real warnings in Verify/Bench stderr (VERDICT r03
+    // next #10). The builder for a given name never changes, so
+    // skipping the replace is behavior-identical.
+    if (!registry.functionExists(FunctionIdentifier(name)))
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+  }
 }

@@ -638,4 +638,86 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.catalyst.expressions.Literal("cafe\u0301"))
     assert(e.eval(null).toString == "caf\u00e9")
   }
+
+  // --- round-4: ANN recall in the production (clustered) regime (x36) ------
+
+  test("annLsh recall@20 >= 0.9 on clustered embeddings (production regime)") {
+    // x29's recall on the ISOTROPIC testdata is 0.70 (random floor
+    // 0.30) \u2014 no method beats that there because no structure exists.
+    // The production claim is "finds neighbors when neighbors exist":
+    // over the planted-cluster view (array<double> \u2014 also pins the
+    // ADVICE r03 type-agnostic query-vector fix; the old getSeq[Float]
+    // threw ClassCastException on exactly this frame) the Hamming
+    // candidate stage must keep >= 90% of the true top-20.
+    val emb = SparkEntry.clusteredEmbeddings(spark, sfMid)
+    val recall = TrainingOps.lshRecallAtK(emb, 20)
+    assert(recall >= 0.9, s"clustered-regime recall@20 = $recall < 0.9")
+  }
+
+  // --- round-4: component ops fail loudly past their round caps ------------
+
+  test("labelPropagationComponents throws past the 50-round cap; star handles the same graph") {
+    val ss = spark
+    import ss.implicits._
+    // a 56-hop path needs 55 min-label rounds \u2014 over the cap. The old
+    // behavior silently returned HALF-PROPAGATED labels (a wrong
+    // answer); now it fails loudly and names the O(log n) alternative.
+    val longPath = (1L to 56L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException](
+      TrainingOps.labelPropagationComponents(longPath).collect())
+    assert(ex.getMessage.contains("connectedComponentsStar"))
+    val c = TrainingOps.connectedComponentsStar(longPath).collect()
+    assert(c.length == 1 && c.head.getLong(1) == 57L,
+      s"star must solve the same path: ${c.toSeq}")
+  }
+
+  // --- round-4: x02 committed golden staleness guard -----------------------
+
+  test("x02 metrics golden CSV matches the live x01 extraction at sf0.01") {
+    // The x02 oracle groups the COMMITTED CSV of x01's narrow metric
+    // columns \u2014 valid only while that file matches the live pipeline
+    // output at sf0.01 (VERDICT r03 "What's wrong" #4). Full-content
+    // equality here makes any corpus or pipeline drift loud instead of
+    // a silent wrong-answer row in CORRECTNESS.
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/x01_metrics_input_sf0.01.csv"), "UTF-8")
+    val committed = try src.getLines().toVector finally src.close()
+    assert(committed.head ==
+      "conv_id,turn_idx,payload_kind,status,detected_language,n_chars,n_tokens")
+    val live = graft.Pipeline
+      .extractTurns(graft.Pipeline.turnsFromDocuments(spark, sfMid))
+      .collect()
+      .sortBy(r => (r.conv_id, r.turn_idx))
+      .map(r => s"${r.conv_id},${r.turn_idx},${r.payload_kind},${r.status}," +
+        s"${r.detected_language},${r.n_chars},${r.n_tokens}")
+      .toVector
+    assert(committed.tail.length == live.length,
+      s"golden has ${committed.tail.length} rows, live extraction ${live.length} " +
+        "- regenerate with graft.tools.DumpMetricsInput")
+    val diffs = committed.tail.zip(live).zipWithIndex.collect {
+      case ((c, l), i) if c != l => s"row $i: golden=$c live=$l"
+    }
+    assert(diffs.isEmpty,
+      s"${diffs.length} stale golden rows (first 3): ${diffs.take(3).mkString("; ")}")
+  }
+
+  // --- round-4: batch session_window (x38) agrees with q19 gap-split -------
+
+  test("x38 session_window sessions agree with q19 sessionization per user") {
+    import org.apache.spark.sql.functions._
+    // same events, two formulations: q19's lag-gap cumulative-sum split
+    // and the native session_window \u2014 per-user session and event counts
+    // must coincide (the boundary-inclusive 1800s merge rule).
+    val x38 = SparkEntry.queries("x38_session_window")(spark, sfMid)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions_sw"), sum("n_events").as("n_events_sw"))
+    val q19 = SparkEntry.queries("q19_sessionize")(spark, sfMid)
+    val joined = q19.join(x38, "user_id")
+    assert(joined.count() == q19.count(), "every q19 user must appear in x38")
+    val mismatched = joined.filter(
+      col("n_sessions") =!= col("n_sessions_sw") ||
+        col("n_events") =!= col("n_events_sw"))
+    assert(mismatched.isEmpty,
+      s"session/event count mismatches: ${mismatched.collect().take(3).toSeq}")
+  }
 }
