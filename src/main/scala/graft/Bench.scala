@@ -100,8 +100,10 @@ object Bench {
       "x28_embed_lsh_sig", "x29_ann_lsh", "x30_pack_sequences",
       "x31_stratified_sample", "x32_deboilerplate", "x33_nfc_normalize",
       "x34_embed_neardup_pairs",
-      // round-4: star components, clustered-regime ANN, session_window
-      "x36_ann_clustered", "x37_dup_components_star", "x38_session_window")
+      // round-4: star components, clustered-regime ANN, session_window,
+      // Bloom-prefilter decontamination
+      "x36_ann_clustered", "x37_dup_components_star", "x38_session_window",
+      "x39_decontaminate_bloom")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.simhash60Descriptor)
     ext.injectFunction(GraftFunctions.nfcDescriptor)
     ext.injectFunction(GraftFunctions.embedLshDescriptor)
+    ext.injectFunction(GraftFunctions.mightContainLongDescriptor)
   }
 }
 
@@ -35,6 +36,19 @@ object GraftFunctions {
     new ExpressionInfo(classOf[graft.expr.EmbedLshSig48].getName, "embed_lsh_sig48"),
     (children: Seq[Expression]) => graft.expr.EmbedLshSig48(children.head))
 
+  /** Spark's native Bloom probe (codegen'd, used by its own runtime
+    * join filters) exposed as a callable function: arg0 = the serialized
+    * sketch (binary literal, as written by
+    * DataFrameStatFunctions.bloomFilter), arg1 = the long value. */
+  val mightContainLongDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("might_contain_long"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "might_contain_long"),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(0), children(1)))
+
   def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.graftshim.GraftRegistry.register(
       spark, "simhash60", simhash60Descriptor._3)
@@ -42,5 +56,7 @@ object GraftFunctions {
       spark, "nfc_normalize", nfcDescriptor._3)
     org.apache.spark.sql.graftshim.GraftRegistry.register(
       spark, "embed_lsh_sig48", embedLshDescriptor._3)
+    org.apache.spark.sql.graftshim.GraftRegistry.register(
+      spark, "might_contain_long", mightContainLongDescriptor._3)
   }
 }

@@ -265,6 +265,14 @@ object SparkEntry {
       val docs = s.read.parquet(t(dir, "documents"))
       TrainingOps.decontaminate(docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0))
     }),
+    // same decontamination, the no-broadcast regime: a Bloom sketch of
+    // the benchmark grams prefilters the corpus map-side, survivors get
+    // an exact verify join — identical result, shuffle-volume shape
+    // for benchmark sets beyond the broadcast limit
+    "x39_decontaminate_bloom" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+      TrainingOps.decontaminateBloom(docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+    }),
     // deterministic hash sample: same 10% every run at any parallelism
     "x20_hash_sample" -> ((s, dir) =>
       TrainingOps.hashSample(s.read.parquet(t(dir, "documents")))),
@@ -834,6 +842,26 @@ object SparkEntry {
        | FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)""".stripMargin
   }
 
+  /** Word-13-gram decontamination oracle — shared by x19 (broadcast
+    * gram set) and x39 (Bloom prefilter + shuffled verify): both Spark
+    * paths must produce the identical exact hit counts. 15 hex digits =
+    * the 60-bit portable prefix (collision-safe at corpus scale;
+    * mirrors TrainingOps.wordGramHashes, ADVICE r03). */
+  private def decontaminateOracleSql: String = {
+    val grams =
+      s"""list_distinct([CAST(('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 15)) AS BIGINT)
+         | FOR i IN range(1, greatest(len(toks)-12, 1)+1)])""".stripMargin
+    s"""WITH tok AS (
+       | SELECT doc_id, regexp_split_to_array($normSql, ' ') AS toks FROM documents),
+       |bset AS (
+       | SELECT DISTINCT unnest($grams) AS g FROM tok WHERE doc_id % 97 = 0),
+       |dg AS (
+       | SELECT doc_id, unnest($grams) AS g FROM tok)
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM dg JOIN bset USING (g)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Recursive-CTE connected components over the jaccard near-dup pairs
     * — ONE oracle text shared by x14 (min-label propagation) and x37
     * (star contraction): both Spark implementations must land on the
@@ -1118,22 +1146,11 @@ object SparkEntry {
     // oracle text, two independent Spark implementations checked by it
     "x37_dup_components_star" -> dupComponentsOracleSql,
     "x12_block_spans" -> blockSpansOracleSql(),
-    "x19_decontaminate" -> {
-      // 15 hex digits = the 60-bit portable prefix (collision-safe at
-      // corpus scale; mirrors TrainingOps.decontaminate, ADVICE r03)
-      val grams =
-        s"""list_distinct([CAST(('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 15)) AS BIGINT)
-           | FOR i IN range(1, greatest(len(toks)-12, 1)+1)])""".stripMargin
-      s"""WITH tok AS (
-         | SELECT doc_id, regexp_split_to_array($normSql, ' ') AS toks FROM documents),
-         |bset AS (
-         | SELECT DISTINCT unnest($grams) AS g FROM tok WHERE doc_id % 97 = 0),
-         |dg AS (
-         | SELECT doc_id, unnest($grams) AS g FROM tok)
-         |SELECT doc_id, count(*) AS n_hits
-         |FROM dg JOIN bset USING (g)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+    "x19_decontaminate" -> decontaminateOracleSql,
+    // the Bloom-prefilter variant computes the IDENTICAL exact result
+    // (false positives die in the verify join) — one oracle text, two
+    // scale regimes
+    "x39_decontaminate_bloom" -> decontaminateOracleSql,
     "x20_hash_sample" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents

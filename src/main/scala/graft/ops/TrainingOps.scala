@@ -766,21 +766,72 @@ object TrainingOps {
     * collision count ~10^-4 per 10^7×10^9 gram cross (ADVICE r03).
     * Documents shorter than n words contribute their whole token run
     * as one gram (clamped slice — mirrored by list_slice in SQL). */
+  /** Word n-gram fingerprints (60-bit portable md5 prefix) — shared by
+    * both decontamination variants. */
+  private def wordGramHashes(c: Column, n: Int): Column = {
+    val toks = split(normText(c), " ")
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => conv(substring(md5(concat_ws(" ", slice(toks, i.cast("int"), lit(n)))), 1, 15), 16, 10)
+        .cast(LongType))
+  }
+
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13): DataFrame = {
-    def gramHashes(c: Column): Column = {
-      val toks = split(normText(c), " ")
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => conv(substring(md5(concat_ws(" ", slice(toks, i.cast("int"), lit(n)))), 1, 15), 16, 10)
-          .cast(LongType))
-    }
     val bGrams = benchmark
-      .select(explode(array_distinct(gramHashes(col("text")))).as("g")).distinct()
+      .select(explode(array_distinct(wordGramHashes(col("text"), n))).as("g")).distinct()
     val dGrams = docs
-      .select(col("doc_id"), explode(array_distinct(gramHashes(col("text")))).as("g"))
+      .select(col("doc_id"), explode(array_distinct(wordGramHashes(col("text"), n))).as("g"))
     dGrams.join(broadcast(bGrams), Seq("g"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
+  }
+
+  /** Decontamination for when the benchmark gram set is TOO BIG to
+    * broadcast (x19's limit: a few hundred MB of distinct gram hashes).
+    * Same exact result as [[decontaminate]] — the oracle text is shared
+    * — via a two-stage filter: (1) a Bloom filter of the benchmark
+    * grams (built distributed, collected once as a ~MB sketch, shipped
+    * as a LITERAL so it rides task binaries like a broadcast var)
+    * prefilters the exploded corpus grams BEFORE any shuffle, dropping
+    * ~(1-fpp) of non-matching grams map-side; (2) the survivors take a
+    * normal equi-join against the exact gram set — strategy left to
+    * AQE, which at real sizes is a SHUFFLED join of two now-small
+    * sides. Bloom false positives die in stage 2, so the result is
+    * exact, not probabilistic. The probe is Spark's native codegen'd
+    * BloomFilterMightContain expression (registered as
+    * `might_contain_long` via GraftExtensions) — no UDF. */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
+                         fpp: Double = 0.01): DataFrame = {
+    val (plan, bGrams) = decontaminateBloomPlan(docs, benchmark, n, fpp)
+    try plan.localCheckpoint(true) finally bGrams.unpersist()
+  }
+
+  /** The lazy result plan + the cached benchmark gram set (the x06
+    * convention), for plan dumps and cache-managing callers. */
+  private[graft] def decontaminateBloomPlan(
+      docs: DataFrame, benchmark: DataFrame, n: Int = 13,
+      fpp: Double = 0.01): (DataFrame, DataFrame) = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val bGrams = benchmark
+      .select(explode(array_distinct(wordGramHashes(col("text"), n))).as("g")).distinct()
+      .persist()
+    // the benchmark side is small by contract — sizing the sketch off
+    // its exact cardinality costs one cheap action on the SMALL side
+    // (the corpus is never counted or scanned twice)
+    val nb = math.max(bGrams.count(), 1L)
+    val bloom = bGrams.stat.bloomFilter("g", nb, fpp)
+    val blob = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val dGrams = docs
+      .select(col("doc_id"), explode(array_distinct(wordGramHashes(col("text"), n))).as("g"))
+      .filter(call_function("might_contain_long", lit(blob), col("g")))
+    val out = dGrams.join(bGrams, Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+    (out, bGrams)
   }
 
   /** Deterministic Bernoulli sampling by key hash — reproducible

@@ -51,6 +51,71 @@ object StreamingPipeline {
       .as[Turn]
   }
 
+  /** One emitted near-duplicate match (canonical id order). */
+  final case class NearDupPair(id_a: Long, id_b: Long, hamming: Int)
+
+  /** Streaming NEAR-dup detection — the continuous counterpart of the
+    * batch x06 simhash pipeline, for dedup-at-ingest: each document's
+    * 60-bit simhash (the native codegen'd expression) splits into
+    * 4×15-bit band keys; keyed state per (band, value) bucket holds the
+    * (doc_id, simhash) fingerprints seen there, and an arriving
+    * document emits a pair for every stored fingerprint within
+    * `maxHamming` — the same pigeonhole blocking as the batch equi-join
+    * (a pair within hamming k must agree on >=1 band), so the DISTINCT
+    * emitted pair set equals the batch operator's output regardless of
+    * arrival order or batch boundaries (spec-pinned). A pair agreeing
+    * on multiple bands is emitted once per agreeing band — downstream
+    * consumers dedup with a dropDuplicates, exactly like the batch
+    * candidate set. State is per-bucket and grows with the corpus; at
+    * unbounded-stream scale bound it with `stateTtl` (the stale-sweep
+    * contract: a duplicate older than the TTL can re-enter, same
+    * trade-off as [[streamDedup]]'s watermark). */
+  def streamNearDupPairs(docs: Dataset[(Long, String)], maxHamming: Int = 12,
+                         stateTtl: Option[String] = None): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    graft.GraftFunctions.register(docs.sparkSession)
+    val nBands = 4
+    val bandBits = graft.ops.TrainingOps.SimhashBits / nBands // 15
+    val bandMask = (1L << bandBits) - 1
+    val banded = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        call_function("simhash60",
+          graft.ops.TrainingOps.normText(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        explode(array((0 until nBands).map { i =>
+          struct(lit(i).as("band"),
+            call_function("shiftright", col("sh"), lit(i * bandBits))
+              .bitwiseAND(bandMask).as("bval"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band").as("band"), col("b.bval").as("bval"))
+      .as[(Long, Long, Int, Long)]
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(updateNearDup(maxHamming, stateTtl))
+  }
+
+  private def updateNearDup(maxHamming: Int, stateTtl: Option[String])(
+      key: (Int, Long),
+      rows: Iterator[(Long, Long, Int, Long)],
+      state: GroupState[List[(Long, Long)]]): Iterator[NearDupPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var seen = state.getOption.getOrElse(Nil)
+    val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
+    for ((id, sh, _, _) <- rows) {
+      for ((pid, psh) <- seen if pid != id) {
+        val h = java.lang.Long.bitCount(sh ^ psh)
+        if (h <= maxHamming)
+          out += NearDupPair(math.min(id, pid), math.max(id, pid), h)
+      }
+      seen = (id, sh) :: seen
+    }
+    state.update(seen)
+    stateTtl.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
+
   /** Streaming gap-sessionization — the continuous counterpart of the
     * batch q19 operator, on Spark's native `session_window` (state
     * merges adjacent windows per key; no custom state code needed).

@@ -446,4 +446,34 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(run() == auto, "shuffled-join results differ from broadcast-join results")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  // --- round-4: x39 Bloom decontamination (the no-broadcast regime) --------
+
+  test("x39: Bloom sketch prefilters the corpus map-side; exact verify join works shuffled; result == x19") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // the regime this variant exists for: benchmark grams too big to
+    // broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (plan, bGrams) = graft.ops.TrainingOps.decontaminateBloomPlan(docs, bench)
+      try {
+        val p = plan.queryExecution.executedPlan.toString()
+        assert(p.contains("might_contain"),
+          s"expected the native Bloom probe on the corpus gram side:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"verify join must stay an equi-join:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"with broadcast off the verify join must shuffle:\n$p")
+        val got = plan.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = graft.ops.TrainingOps.decontaminate(docs, bench)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == exact,
+          s"Bloom variant must be exact: extra=${(got -- exact).take(3)} missing=${(exact -- got).take(3)}")
+        assert(exact.nonEmpty, "decontamination fixture must produce hits")
+      } finally bGrams.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -228,4 +228,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, s"stream $streamed != batch $batch")
     assert(streamed(1L) == ((2L, 4L)) && streamed(3L) == ((2L, 2L)))
   }
+
+  test("streaming near-dup pairs across micro-batches equal the batch x06 simhash pairs") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the real corpus (sf0.01, 500 docs, 1439 batch pairs) fed in two
+    // micro-batches split mid-corpus: cross-batch pairs must surface
+    // from state, in-batch pairs from the iterator — the DISTINCT
+    // emitted set must equal the batch banded equi-join's output
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.streamNearDupPairs(input.toDS())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(first.toSeq)
+    q.processAllAvailable()
+    input.addData(second.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT DISTINCT id_a, id_b, hamming FROM neardup_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.ops.TrainingOps.simhashNearDupPairs(
+      spark.read.parquet("/root/testdata/sf0.01/documents.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty, "fixture must contain near-dups")
+    assert(streamed == batch,
+      s"stream extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)} " +
+        s"(stream ${streamed.size} vs batch ${batch.size})")
+  }
 }
