@@ -25,6 +25,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    LogQuiet.muteCheckpointReleaseWarns()
     s
   }
 

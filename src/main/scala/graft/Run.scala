@@ -45,6 +45,7 @@ object Run {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogQuiet.muteCheckpointReleaseWarns()
 
     val t0 = System.nanoTime()
     val allTurns =
