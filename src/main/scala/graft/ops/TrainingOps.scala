@@ -1137,6 +1137,23 @@ object TrainingOps {
     (packed, toks)
   }
 
+  /** The documented scale upgrade of the exact group quantiles (x24):
+    * approx_percentile's t-digest sketch is mergeable map-side with
+    * bounded memory per group, so it survives HIGH-cardinality group
+    * keys where exact percentile would buffer a whole group's values
+    * in one task. Not driver-oracled (sketch results depend on merge
+    * order, so no cross-engine hash can pin them) — instead
+    * ScaleOpsSpec bounds it against the exact operator: at
+    * `accuracy` = 10^4 the p50/p90 land within the observed value
+    * range's 1% on the events table. */
+  def eventQuantilesApprox(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** Exact-quota stratified sample: a deterministic `nPer`-doc sample
     * from each token-length stratum — the data-mixing op that rebalances
     * a corpus across length (or any) bands. Rank within each stratum by

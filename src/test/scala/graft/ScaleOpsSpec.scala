@@ -701,6 +701,64 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${diffs.length} stale golden rows (first 3): ${diffs.take(3).mkString("; ")}")
   }
 
+  // --- round-4: approx quantile sketch bounded against exact (x24 upgrade) -
+
+  test("approx_percentile (t-digest, high-cardinality-safe) lands within 1% of exact group quantiles") {
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"$sfMid/events.parquet")
+    val approx = TrainingOps.eventQuantilesApprox(events)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"), expr("percentile(value, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val range = events.agg(max("value") - min("value")).head().getDouble(0)
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    for ((k, (a50, a90)) <- approx) {
+      val (e50, e90) = exact(k)
+      assert(math.abs(a50 - e50) <= range * 0.01, s"$k p50: approx $a50 vs exact $e50")
+      assert(math.abs(a90 - e90) <= range * 0.01, s"$k p90: approx $a90 vs exact $e90")
+    }
+  }
+
+  // --- round-4: AQE skew-join runtime re-plan (the 100 TB hot-key story) ---
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    val ss = spark
+    import ss.implicits._
+    // 95% of rows share one key + a fat payload column -> one shuffle
+    // partition dwarfs the rest; with the skew thresholds scaled to the
+    // fixture (prod defaults are 256MB), AQE must split it at runtime
+    // instead of letting one task carry the hot key.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 200
+      val left = spark.range(0, 40000)
+        .select(when(col("id") % 20 =!= 0, 1L).otherwise(col("id")).as("k"),
+          concat(lit(pad), col("id")).as("payload"))
+      val right = (1L to 40L).toDF("k").withColumn("tag", concat(lit("t"), col("k")))
+      val joined = left.join(right, "k")
+      // execute THIS dataset (count() would spawn its own query
+      // execution and finalize a different AQE plan), then read the
+      // finalized adaptive plan
+      val rows = joined.collect()
+      assert(rows.length == 38002) // 38000 hot k=1 rows + cold ids 20 and 40
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"expected AQE to mark/split the skewed join partition:\n${p.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   // --- round-4: batch session_window (x38) agrees with q19 gap-split -------
 
   test("x38 session_window sessions agree with q19 sessionization per user") {
