@@ -180,15 +180,19 @@ object Bench {
       else if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
-    // three rounds minimum: an odd count gives a true median (two
-    // rounds average a pair that can spread 0.76-0.95 under shared-host
-    // load). Extra rounds are gated on the round-to-round SPREAD of the
-    // paired ratios — a load-variance signal — NOT on the efficiency
-    // value itself: stopping "as soon as the number looks good" is
-    // optional stopping conditioned on the reported metric and biases
-    // it upward (ADVICE r03). A wide spread means some round saw a load
-    // window, so every level gets the same extra trials.
-    round(); round(); round()
+    // FIVE rounds minimum (fixed odd count, ADVICE r03's suggestion):
+    // a median of 5 paired ratios tolerates two loaded rounds where a
+    // median of 3 tolerates one — round-4 runs concurrent with corpus
+    // generation measured individual rounds at 0.70-0.73 against
+    // quiet-host 0.85-0.95, and sporadic load is the dominant error
+    // source on this shared box. Extra rounds are gated on the
+    // round-to-round SPREAD of the paired ratios — a load-variance
+    // signal — NOT on the efficiency value itself: stopping "as soon
+    // as the number looks good" is optional stopping conditioned on
+    // the reported metric and biases it upward. A wide spread means
+    // some round saw a load window, so every level gets the same
+    // extra trials.
+    round(); round(); round(); round(); round()
     def spread(): Double = roundEffs.max - roundEffs.min
     var extra = 0
     while (spread() > 0.12 && extra < 2) { round(); extra += 1 }
