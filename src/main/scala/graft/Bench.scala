@@ -130,7 +130,7 @@ object Bench {
       val n = emb.count()
       val brute = math.max(n * (n - 1) / 2, 1L)
       graft.ops.TrainingOps.gridCandidateCount(emb, 0.45).toDouble / brute
-    } catch { case _: Throwable => -1.0 }
+    } catch { case scala.util.control.NonFatal(_) => -1.0 } // never swallow OOM/interrupt
 
     // --- extraction throughput at three parallelism levels -----------------
     // Two N→4N pairs: (lo2 → lo) is the scale-out proxy — both levels sit
@@ -194,8 +194,10 @@ object Bench {
     // extra trials.
     round(); round(); round(); round(); round()
     def spread(): Double = roundEffs.max - roundEffs.min
-    var extra = 0
-    while (spread() > 0.12 && extra < 2) { round(); extra += 1 }
+    // spread is max-min over ALL rounds — monotonically non-decreasing —
+    // so re-checking it per extra round is dead logic (it can never fall
+    // back under the threshold). One check, both extras.
+    if (spread() > 0.12) { round(); round() }
     val (nHi, tHi) = best(hi)
     val (nLo, tLo) = best(lo)
     val (nLo2, tLo2) = best(lo2)

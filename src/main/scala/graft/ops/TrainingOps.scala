@@ -224,6 +224,11 @@ object TrainingOps {
       .persist()
     var (labels, labelsIds) = trackedCheckpoint(
       edges.select(col("id_a").as("id")).distinct().withColumn("comp", col("id")))
+    // try/finally: on EVERY exit — including the non-convergence throw —
+    // release the edge cache and the last round's checkpoint blocks
+    // (a caller that catches the throw and keeps the session alive must
+    // not retain them for the session lifetime)
+    try {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -252,14 +257,15 @@ object TrainingOps {
       throw new IllegalStateException(
         s"labelPropagationComponents did not converge in $rounds rounds " +
           "(graph diameter > 50) — use connectedComponentsStar (O(log n) rounds)")
-    val out = labels.groupBy("comp")
+    labels.groupBy("comp")
       .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
       .select(col("comp").as("component"), col("n_docs"), col("max_doc"))
       .orderBy("component")
-      .localCheckpoint(true)
-    releaseRdds(out, labelsIds)
-    edges.unpersist()
-    out
+      .localCheckpoint(true) // materialized BEFORE the finally releases labels
+    } finally {
+      releaseRdds(labels, labelsIds)
+      edges.unpersist()
+    }
   }
 
   /** Connected components via alternating large-star/small-star edge
@@ -324,6 +330,10 @@ object TrainingOps {
     var (edges, edgeIds) = trackedCheckpoint(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))
         .filter(col("u") =!= col("v")).distinct())
+    // try/finally mirrors labelPropagationComponents: the last round's
+    // checkpoint blocks are released on every exit incl. the
+    // non-convergence throw
+    try {
     var prev = checksum(edges)
     var rounds = 0
     var stable = false
@@ -350,9 +360,9 @@ object TrainingOps {
       .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
       .select(col("comp").as("component"), col("n_docs"), col("max_doc"))
       .orderBy("component")
-      .localCheckpoint(true)
-    releaseRdds(out, edgeIds)
+      .localCheckpoint(true) // materialized BEFORE the finally releases edges
     (out, rounds)
+    } finally releaseRdds(edges, edgeIds)
   }
 
   /** SimHash (60-bit) over word tokens. The per-word hash is the first
@@ -766,16 +776,6 @@ object TrainingOps {
     * collision count ~10^-4 per 10^7×10^9 gram cross (ADVICE r03).
     * Documents shorter than n words contribute their whole token run
     * as one gram (clamped slice — mirrored by list_slice in SQL). */
-  /** Word n-gram fingerprints (60-bit portable md5 prefix) — shared by
-    * both decontamination variants. */
-  private def wordGramHashes(c: Column, n: Int): Column = {
-    val toks = split(normText(c), " ")
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => conv(substring(md5(concat_ws(" ", slice(toks, i.cast("int"), lit(n)))), 1, 15), 16, 10)
-        .cast(LongType))
-  }
-
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13): DataFrame = {
     val bGrams = benchmark
       .select(explode(array_distinct(wordGramHashes(col("text"), n))).as("g")).distinct()
@@ -784,6 +784,17 @@ object TrainingOps {
     dGrams.join(broadcast(bGrams), Seq("g"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
+  }
+
+  /** Word n-gram fingerprints (60-bit portable md5 prefix) — shared by
+    * both decontamination variants; see [[decontaminate]] for the hash
+    * width and clamped-slice contract. */
+  private def wordGramHashes(c: Column, n: Int): Column = {
+    val toks = split(normText(c), " ")
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => conv(substring(md5(concat_ws(" ", slice(toks, i.cast("int"), lit(n)))), 1, 15), 16, 10)
+        .cast(LongType))
   }
 
   /** Decontamination for when the benchmark gram set is TOO BIG to

@@ -402,21 +402,27 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      // baseline: a bare spark.read.parquet runs ONE schema-inference
-      // job of its own (measured; "parquet at" callsite), which is not
-      // what this spec polices
+      // a bare spark.read.parquet runs a schema-inference/listing job of
+      // its own, which is not what this spec polices. Warm that path
+      // once (unmeasured), then measure a SECOND bare read — the exact
+      // job cost of the one read the query builder performs in the same
+      // warm state. Any action the builder adds (the old eager
+      // docs.count()) then strictly exceeds the baseline.
       spark.read.parquet(s"$sfDir/documents.parquet")
       Thread.sleep(500)
-      val baseline = jobs
+      val jobs0 = jobs
+      spark.read.parquet(s"$sfDir/documents.parquet")
+      Thread.sleep(500)
+      val baseline = jobs - jobs0
+      val jobs1 = jobs
       val df = SparkEntry.queries("x21_tfidf_top_terms")(spark, sfDir)
       val p = df.queryExecution.executedPlan.toString()
-      // the old shape ran docs.count() eagerly — a whole extra pass over
-      // the corpus before the real job. Listener delivery is async; a
-      // count() would have completed synchronously above, so a short
-      // drain window suffices.
+      // Listener delivery is async; a count() would have completed
+      // synchronously above, so a short drain window suffices.
       Thread.sleep(500)
-      assert(jobs - baseline <= baseline,
-        s"building the TF-IDF plan ran ${jobs - baseline} job(s) where the bare read runs " +
+      val built = jobs - jobs1
+      assert(built <= baseline,
+        s"building the TF-IDF plan ran $built job(s) where a bare warm read runs " +
           s"$baseline — the separate corpus-count action is back")
       // N rides the same job as a 1-row aggregate whose scan reads ZERO
       // data columns (count-only pruning)
