@@ -104,7 +104,11 @@ object Bench {
       // round-4: star components, clustered-regime ANN, session_window,
       // Bloom-prefilter decontamination
       "x36_ann_clustered", "x37_dup_components_star", "x38_session_window",
-      "x39_decontaminate_bloom")
+      "x39_decontaminate_bloom",
+      // round-4 continuation: conversation rollup, winnow containment
+      // dedup, unigram-LM quality, domain blocklist
+      "x40_conv_rollup", "x41_winnow_containment", "x42_unigram_logprob",
+      "x43_domain_blocklist")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

@@ -397,6 +397,31 @@ object SparkEntry {
       TrainingOps.nfcNormalize(s.read.parquet(t(dir, "documents")).select(
         col("doc_id"),
         concat(col("text"), lit(" cafe\u0301 A\u030Avec")).as("text")))),
+    // per-conversation rollup over the transcript view (turn counts,
+    // role mix, tool coverage, char volume, ts span) — the
+    // conversation-level statistics pass before sampling/packing; one
+    // map-side-combined groupBy(conv_id) shuffle, no Expand (distinct
+    // tools via bounded collect_set)
+    "x40_conv_rollup" -> ((s, dir) =>
+      TrainingOps.convRollup(Pipeline.turnsFromDocuments(s, dir).toDF())),
+    // MOSS-style containment near-dup pairs over winnow fingerprints:
+    // catches short-inside-long overlap that symmetric Jaccard (x13)
+    // dilutes; df-capped fp self-join (the cap doubles as the skew
+    // guard on boilerplate fingerprints)
+    "x41_winnow_containment" -> ((s, dir) =>
+      TrainingOps.winnowContainmentPairs(s.read.parquet(t(dir, "documents")))),
+    // unigram-LM negative log-likelihood per doc (perplexity-proxy
+    // quality filter); tf-reduced BEFORE the vocab join so stopword
+    // keys don't explode the join, corpus total as in-plan 1-row
+    // broadcast (x21's pattern)
+    "x42_unigram_logprob" -> ((s, dir) =>
+      TrainingOps.unigramLogprob(s.read.parquet(t(dir, "documents")))),
+    // URL/domain blocklist drop (C4/RefinedWeb source filter): regexp
+    // domain parse + tiny broadcast anti-join; URL synthesized
+    // deterministically from doc_id (testdata has none — x27's
+    // convention)
+    "x43_domain_blocklist" -> ((s, dir) =>
+      TrainingOps.domainBlocklist(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1351,7 +1376,86 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS BIGINT) AS rn,
         |  w AS term, tfidf
         | FROM scored)
-        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    // x40: the turns-view derivation is the same column arithmetic
+    // x07's oracle mirrors (conv-id lpad, 1700000000+doc_id seconds);
+    // every aggregate CAST to BIGINT — DuckDB sums are HUGEINT and
+    // pandas renders those as floats, which would hash-mismatch
+    "x40_conv_rollup" ->
+      """WITH turns AS (
+        | SELECT 'conv-' || lpad(CAST(doc_id // 10 AS VARCHAR), 8, '0') AS conv_id,
+        |  ['user','assistant','tool'][CAST(doc_id % 3 AS INT) + 1] AS role,
+        |  ['plain','document','receipt','id_card','form','table','signage',
+        |   'scientific','multi_column','html','pdf','book_page'][CAST(doc_id % 12 AS INT) + 1] AS tool,
+        |  text, CAST(1700000000 + doc_id AS BIGINT) AS ts_s
+        | FROM documents)
+        |SELECT conv_id,
+        | CAST(count(*) AS BIGINT) AS n_turns,
+        | CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+        | CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+        | CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_role,
+        | CAST(count(DISTINCT tool) AS BIGINT) AS n_tools,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        | min(ts_s) AS first_s, max(ts_s) AS last_s,
+        | max(ts_s) - min(ts_s) AS span_s
+        |FROM turns GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    // x41: q24's winnow CTE (k=8 grams, w=4 windows, distinct minima)
+    // -> df-cap window -> fp self-join -> containment basis points
+    "x41_winnow_containment" ->
+      s"""WITH wfp AS (
+         | SELECT doc_id, unnest(list_distinct(
+         |   [list_min(list_slice(hashes, i+1, i+4))
+         |    FOR i IN range(0, greatest(len(hashes)-4, 0)+1)])) AS fp
+         | FROM (
+         |  SELECT doc_id,
+         |   [CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+         |    FOR g IN [substr(n, i, 8) FOR i IN range(1, greatest(len(n)-7, 1)+1)]] AS hashes
+         |  FROM (SELECT doc_id, $normSql AS n FROM documents))),
+         |kept AS (
+         | SELECT doc_id, fp FROM (
+         |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM wfp)
+         | WHERE df <= 50),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM kept GROUP BY 1),
+         |shr AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+         | FROM kept a JOIN kept b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+         | CAST(shared * 10000 // least(sa.n_fp, sb.n_fp) AS BIGINT) AS containment_bp
+         |FROM shr JOIN sizes sa ON shr.id_a = sa.doc_id
+         |         JOIN sizes sb ON shr.id_b = sb.doc_id
+         |WHERE shared * 10000 // least(sa.n_fp, sb.n_fp) >= 8000
+         |ORDER BY id_a, id_b""".stripMargin,
+    // x42: x21's tokenization, tf-reduced; the tf-weighted mean keeps
+    // the oracle's summation per-doc-vocab-sized on both engines
+    "x42_unigram_logprob" ->
+      """WITH words AS (
+        | SELECT doc_id, w FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |  FROM documents) WHERE w <> ''),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+        |cnts AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf),
+        |scored AS (
+        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+        |  round(-(sum(tf * ln(cnt / total)) / sum(tf)), 4) AS nll
+        | FROM tf JOIN cnts USING (w) CROSS JOIN tot GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.n_words, 0) AS n_words, s.nll
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // x43: same deterministic URL synthesis, regexp domain parse,
+    // NOT IN blocklist
+    "x43_domain_blocklist" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  'https://' || ['example','news','tracker','cdn-ads','blog','wiki','shop'][CAST(doc_id % 7 AS INT) + 1]
+        |   || '.' || ['com','org','net'][CAST(doc_id % 3 AS INT) + 1]
+        |   || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        | FROM documents)
+        |SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)/', 1) AS domain
+        |FROM u
+        |WHERE regexp_extract(url, '^https?://([^/]+)/', 1) NOT IN
+        | ('tracker.com','tracker.org','tracker.net','cdn-ads.com','cdn-ads.org','cdn-ads.net')
+        |ORDER BY doc_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

@@ -1361,4 +1361,149 @@ object TrainingOps {
       .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy("user_id")
   }
+
+  // --- transcript rollups + containment dedup + LM quality + URL filter ------
+
+  /** Per-conversation rollup over the transcript table — the
+    * conversation-level statistics pass a transcript pipeline runs
+    * before sampling/packing (turn counts, role mix, tool coverage,
+    * character volume, wall-clock span). ONE groupBy(conv_id) shuffle
+    * with map-side partial aggregation end to end. Distinct-tool count
+    * uses size(collect_set(...)) rather than countDistinct: the tool
+    * vocabulary is small and bounded, so the partial-aggregated set
+    * stays tiny, and the plan avoids the Expand (input-row doubling)
+    * that a mixed distinct/non-distinct aggregate would add to the
+    * shuffle — at 10^12 turns that Expand is the dominant cost. */
+  def convRollup(turns: DataFrame): DataFrame = {
+    turns.groupBy("conv_id")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+        sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool_role"),
+        size(collect_set(col("tool"))).cast(LongType).as("n_tools"),
+        sum(length(col("text")).cast(LongType)).as("total_chars"),
+        min(unix_timestamp(col("ts"))).as("first_s"),
+        max(unix_timestamp(col("ts"))).as("last_s"))
+      .withColumn("span_s", col("last_s") - col("first_s"))
+      .orderBy("conv_id")
+  }
+
+  /** Containment near-dup pairs over winnowing fingerprints (MOSS-style
+    * partial-overlap dedup): pairs whose shared fingerprint count covers
+    * >= minBp basis points of the SMALLER document's fingerprint set.
+    * Complements Jaccard (x13): containment catches a short document
+    * embedded inside a long one, which symmetric Jaccard dilutes away.
+    * Scale shape: explode distinct winnow minima -> document-frequency
+    * cap (a fingerprint shared by > maxDf docs is boilerplate AND a
+    * quadratic hot key in the self-join — the df-cap is the skew guard)
+    * -> fp-keyed self-join -> pair-count aggregate; denominators are the
+    * post-cap set sizes so both engines use the same universe. */
+  def winnowContainmentPairs(docs: DataFrame, minBp: Int = 8000, k: Int = 8,
+                             w: Int = 4, maxDf: Int = 50): DataFrame = {
+    val (plan, kept) = winnowContainmentPairsPlan(docs, minBp, k, w, maxDf)
+    try plan.localCheckpoint(true) finally kept.unpersist()
+  }
+
+  /** The lazy plan + its cached fingerprint table (PlanQualitySpec /
+    * cache-managing callers). */
+  private[graft] def winnowContainmentPairsPlan(
+      docs: DataFrame, minBp: Int = 8000, k: Int = 8, w: Int = 4,
+      maxDf: Int = 50): (DataFrame, DataFrame) = {
+    // Spread before the md5 stage: one parquet file = one task otherwise
+    // (same fix as jaccardNearDupPairsPlan — the signature computation is
+    // the expensive stage and must use the full parallelism).
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val n = normText(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+      i => substring(n, i.cast("int"), lit(k)))
+    // Named hash-array column: keeps CollapseProject from re-inlining the
+    // md5 chain into the window-minima lambda (O(n^2) md5 otherwise —
+    // same boundary winnowFingerprints needs).
+    val withHashes = spread.select(
+      col("doc_id"),
+      transform(grams, g => conv(substring(md5(g), 1, 8), 16, 10).cast(LongType)).as("hashes"))
+    val h = col("hashes")
+    val windowMins = transform(
+      sequence(lit(0), greatest(size(h) - w, lit(0))),
+      i => array_min(slice(h, i.cast("int") + 1, lit(w))))
+    val fps = withHashes
+      .select(col("doc_id"), explode(array_distinct(windowMins)).as("fp"))
+    // df-cap via a window over fp (one shuffle, no extra join), THEN the
+    // single persist boundary: the cached post-cap table feeds the two
+    // self-join sides and the size aggregate without recomputing md5.
+    val kept = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= maxDf).drop("df")
+      .persist()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val shared = kept.select(col("fp"), col("doc_id").as("id_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fp").as("n_b")), Seq("id_b"))
+      // integer basis points (same convention as repetitionStats): exact
+      // integer math on both engines, no float-format drift
+      .withColumn("containment_bp", expr("shared * 10000 DIV least(n_a, n_b)"))
+      .filter(col("containment_bp") >= minBp)
+      .select("id_a", "id_b", "shared", "n_a", "n_b", "containment_bp")
+      .orderBy("id_a", "id_b")
+    (out, kept)
+  }
+
+  /** Corpus-unigram negative log-likelihood per document — the
+    * perplexity-proxy quality score (a KenLM-style LM filter reduced to
+    * its unigram case, which stays exactly DuckDB-oracle-able). Skew
+    * shape matters: the token->count join is NOT done on raw tokens
+    * (stopword keys would be quadratic hot rows); tokens are first
+    * reduced to per-document term frequencies, so the join cardinality
+    * is sum of per-doc vocabularies, and the NLL is the tf-weighted
+    * mean. The corpus total rides the same 1-row broadcast cross-join
+    * trick as tfidfTopTerms (no separate count() action). */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy("w").agg(sum("tf").as("cnt"))
+    val total = tf.groupBy().agg(sum("tf").cast(DoubleType).as("total"))
+    val scored = tf.join(counts, "w").crossJoin(broadcast(total))
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_words"),
+        round(-(sum(col("tf") * log(col("cnt") / col("total"))) / sum(col("tf"))), 4)
+          .as("nll"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_words"), lit(0L)).as("n_words"), col("nll"))
+      .orderBy("doc_id")
+  }
+
+  /** URL/domain blocklist filter — the C4/RefinedWeb-style source-level
+    * drop stage. The testdata has no URL column, so the URL is
+    * synthesized deterministically from doc_id (same convention as
+    * redactPii's traffic): both engines derive identical input. The
+    * domain parse is a regexp extract; the blocklist is a tiny inline
+    * table applied as a BROADCAST left-anti join — at 10^12 rows the
+    * blocklist stays driver-sized and the filter is shuffle-free. */
+  def domainBlocklist(docs: DataFrame): DataFrame = {
+    val hosts = Seq("example", "news", "tracker", "cdn-ads", "blog", "wiki", "shop")
+    val tlds = Seq("com", "org", "net")
+    val url = concat(lit("https://"),
+      element_at(typedLit(hosts), (pmod(col("doc_id"), lit(hosts.length)) + 1).cast("int")),
+      lit("."),
+      element_at(typedLit(tlds), (pmod(col("doc_id"), lit(tlds.length)) + 1).cast("int")),
+      lit("/p/"), col("doc_id").cast("string"))
+    val withUrl = docs
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val block = Seq("tracker.com", "tracker.org", "tracker.net",
+      "cdn-ads.com", "cdn-ads.org", "cdn-ads.net").toDF("domain")
+    withUrl.join(broadcast(block), Seq("domain"), "left_anti")
+      .select("doc_id", "url", "domain")
+      .orderBy("doc_id")
+  }
 }

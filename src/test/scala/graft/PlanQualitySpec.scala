@@ -227,6 +227,23 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally lines.unpersist()
   }
 
+  test("x41: one cached post-cap fingerprint table feeds the self-join sides and size aggregates") {
+    val (df, kept) = graft.ops.TrainingOps.winnowContainmentPairsPlan(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      // two self-join sides + two size-aggregate references — every one
+      // must read the single cached fingerprint table, and nothing may
+      // recompute the md5 stage from the corpus directly
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"all fp references must read the cached table:\n$p")
+      val plain = df.queryExecution.executedPlan.collectLeaves()
+        .count(l => !l.toString().contains("InMemoryTableScan"))
+      assert(plain == 0,
+        s"no leaf may scan the corpus outside the cached fp table:\n$p")
+    } finally kept.unpersist()
+  }
+
   test("x22/x23: as-of and range joins are equi-joins, never nested loops") {
     for (n <- Seq("x22_asof_join", "x23_range_join")) {
       val p = plan(n)

@@ -778,4 +778,102 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mismatched.isEmpty,
       s"session/event count mismatches: ${mismatched.collect().take(3).toSeq}")
   }
+
+  // --- conversation rollup (x40) -------------------------------------------
+
+  test("convRollup: role counts partition the turns; single shuffle, no Expand") {
+    val turns = Pipeline.turnsFromDocuments(spark, sfSmall).toDF()
+    val total = turns.count()
+    val r = TrainingOps.convRollup(turns)
+    val rows = r.collect()
+    assert(rows.map(_.getAs[Long]("n_turns")).sum == total)
+    assert(rows.forall(row =>
+      row.getAs[Long]("n_user") + row.getAs[Long]("n_assistant") +
+        row.getAs[Long]("n_tool_role") == row.getAs[Long]("n_turns")))
+    assert(rows.forall(row =>
+      row.getAs[Long]("span_s") ==
+        row.getAs[Long]("last_s") - row.getAs[Long]("first_s")))
+    // plan shape: the aggregate costs ONE hash-partition exchange (plus
+    // the orderBy's range exchange); distinct-tools via collect_set must
+    // NOT introduce an Expand (the countDistinct row-doubling)
+    // AQE prints the final AND initial plans — count shuffles in the
+    // final section only
+    val plan = r.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Expand"), s"unexpected Expand in:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"too many shuffles in:\n$plan")
+  }
+
+  // --- winnow containment pairs (x41) --------------------------------------
+
+  test("winnowContainmentPairs finds a short doc embedded in a long one; df-cap kills boilerplate keys") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog while a curious " +
+      "cat watches from the warm windowsill near the garden gate and the " +
+      "old oak tree casts long shadows across the quiet afternoon lawn"
+    val embedded = base.split(" ").take(14).mkString(" ") // contiguous prefix
+    val docs = Seq(
+      (1L, base),
+      (2L, embedded),
+      (3L, "completely unrelated content about distributed query engines " +
+        "and shuffle partitioning strategies for large analytical workloads")
+    ).toDF("doc_id", "text")
+    val pairs = TrainingOps.winnowContainmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("containment_bp")).toMap
+    assert(pairs.contains((1L, 2L)), s"embedded doc not detected: $pairs")
+    assert(pairs((1L, 2L)) >= 8000L, s"containment too low: ${pairs((1L, 2L))}")
+    assert(!pairs.keys.exists(k => k._1 == 3L || k._2 == 3L),
+      s"unrelated doc paired: $pairs")
+    // the same pair is BELOW a symmetric-jaccard dedup threshold — the
+    // case containment exists for (short-inside-long)
+    val jac = TrainingOps.jaccardNearDupPairs(docs, threshold = 0.8)
+    assert(jac.filter(col("id_a") === 1L && col("id_b") === 2L).isEmpty,
+      "jaccard 0.8 should NOT fire on a short-inside-long pair")
+    // df-cap: five identical docs -> every fingerprint's df exceeds the
+    // cap -> the hot keys drop and no quadratic pair survives
+    val boiler = (1L to 5L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = TrainingOps.winnowContainmentPairs(boiler, maxDf = 3)
+    assert(capped.isEmpty, "df-cap should drop fingerprints shared by >maxDf docs")
+  }
+
+  // --- unigram logprob (x42) ------------------------------------------------
+
+  test("unigramLogprob matches hand-computed corpus NLL; empty doc yields 0 words, null nll") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "...")).toDF("doc_id", "text")
+    val r = TrainingOps.unigramLogprob(docs).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    // corpus: a=2, b=2, c=1, total=5
+    def nll(ps: Seq[(Long, Double)]): Double = {
+      val v = -ps.map { case (tf, p) => tf * math.log(p) }.sum / ps.map(_._1).sum
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(r(1L).getAs[Long]("n_words") == 3L)
+    assert(r(1L).getAs[Double]("nll") == nll(Seq((2L, 0.4), (1L, 0.4))))
+    assert(r(2L).getAs[Double]("nll") == nll(Seq((1L, 0.4), (1L, 0.2))))
+    assert(r(3L).getAs[Long]("n_words") == 0L && r(3L).isNullAt(2))
+  }
+
+  // --- domain blocklist (x43) -----------------------------------------------
+
+  test("domainBlocklist drops exactly the blocklisted hosts via a broadcast anti-join") {
+    val ss = spark
+    import ss.implicits._
+    val docs = (0L until 42L).map(i => (i, "t")).toDF("doc_id", "text")
+    val r = TrainingOps.domainBlocklist(docs)
+    val kept = r.collect().map(_.getLong(0)).toSet
+    // hosts[(doc_id % 7)] ∈ {tracker (idx 2), cdn-ads (idx 3)} are blocked
+    // for every tld, so exactly doc_id % 7 ∈ {2, 3} disappears
+    (0L until 42L).foreach { i =>
+      assert(kept.contains(i) == (i % 7 != 2 && i % 7 != 3), s"doc $i")
+    }
+    val domains = r.collect().map(_.getAs[String]("domain")).toSet
+    assert(domains.forall(d => !d.startsWith("tracker.") && !d.startsWith("cdn-ads.")))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist should be a broadcast anti-join:\n$plan")
+  }
 }
