@@ -422,6 +422,16 @@ object SparkEntry {
     // convention)
     "x43_domain_blocklist" -> ((s, dir) =>
       TrainingOps.domainBlocklist(s.read.parquet(t(dir, "documents")))),
+    // (prev tool -> tool) dispatch-flow bigrams: one conv_id-keyed
+    // window shuffle (conversations parallelize; order is only
+    // per-conversation), then a tiny map-side-combined aggregate
+    "x44_tool_transitions" -> ((s, dir) =>
+      TrainingOps.toolTransitions(Pipeline.turnsFromDocuments(s, dir).toDF())),
+    // Gopher-style corpus length-band filter with IN-PLAN percentile
+    // thresholds (no driver-side collect; approx_percentile is the
+    // 10^12-row swap, pinned by the x24 tolerance spec)
+    "x45_length_band" -> ((s, dir) =>
+      TrainingOps.lengthBandFilter(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1455,6 +1465,33 @@ object SparkEntry {
         |FROM u
         |WHERE regexp_extract(url, '^https?://([^/]+)/', 1) NOT IN
         | ('tracker.com','tracker.org','tracker.net','cdn-ads.com','cdn-ads.org','cdn-ads.net')
+        |ORDER BY doc_id""".stripMargin,
+    // x44: same turns-view derivation as x40; lag over
+    // (conv_id, turn_idx) is deterministic (turn_idx unique per conv)
+    "x44_tool_transitions" ->
+      """WITH turns AS (
+        | SELECT 'conv-' || lpad(CAST(doc_id // 10 AS VARCHAR), 8, '0') AS conv_id,
+        |  CAST(doc_id % 10 AS INT) AS turn_idx,
+        |  ['plain','document','receipt','id_card','form','table','signage',
+        |   'scientific','multi_column','html','pdf','book_page'][CAST(doc_id % 12 AS INT) + 1] AS tool
+        | FROM documents),
+        |seq AS (
+        | SELECT tool, lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+        | FROM turns)
+        |SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE prev_tool IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // x45: quantile_cont is DuckDB's linear-interpolated percentile —
+    // the same definition as Spark's exact `percentile` (x24's proof)
+    "x45_length_band" ->
+      """WITH counted AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words
+        | FROM documents),
+        |b AS (SELECT quantile_cont(n_words, 0.05) AS p_lo,
+        |             quantile_cont(n_words, 0.95) AS p_hi FROM counted)
+        |SELECT doc_id, n_words FROM counted, b
+        |WHERE n_words >= p_lo AND n_words <= p_hi
         |ORDER BY doc_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =

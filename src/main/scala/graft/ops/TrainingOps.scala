@@ -1480,6 +1480,47 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Tool-transition counts over the transcript table: for each
+    * conversation ordered by turn_idx, count (previous tool -> tool)
+    * bigrams corpus-wide — the dispatch-flow statistics an agent-
+    * transcript pipeline mines for tool-use patterns. Scale shape: one
+    * window shuffle keyed by conv_id (per-conversation order is
+    * inherently sequential, but conversations are independent so the
+    * window parallelizes across them), then a tiny (tool x tool)
+    * aggregate that partial-aggregates map-side. */
+  def toolTransitions(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("tool"))
+      .withColumn("prev_tool", lag("tool", 1).over(w))
+      .filter(col("prev_tool").isNotNull)
+      .groupBy("prev_tool", "tool")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_tool", "tool")
+  }
+
+  /** Percentile-band length filter (the Gopher-style doc-length cut):
+    * keep documents whose word count lies within the corpus [p05, p95]
+    * band. The thresholds are computed IN-PLAN (1-row exact-percentile
+    * aggregate broadcast-cross-joined back), not collected to the
+    * driver — the filter stays one distributed plan. Exact `percentile`
+    * funnels values to one reducer; at 10^12 rows swap in
+    * approx_percentile (t-digest), same plan shape — the x24 tolerance
+    * spec pins that upgrade path. */
+  def lengthBandFilter(docs: DataFrame, lo: Double = 0.05,
+                       hi: Double = 0.95): DataFrame = {
+    val counted = docs.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_words"))
+    val bounds = counted.agg(
+      percentile(col("n_words"), lit(lo)).as("p_lo"),
+      percentile(col("n_words"), lit(hi)).as("p_hi"))
+    counted.crossJoin(broadcast(bounds))
+      .filter(col("n_words") >= col("p_lo") && col("n_words") <= col("p_hi"))
+      .select("doc_id", "n_words")
+      .orderBy("doc_id")
+  }
+
   /** URL/domain blocklist filter — the C4/RefinedWeb-style source-level
     * drop stage. The testdata has no URL column, so the URL is
     * synthesized deterministically from doc_id (same convention as

@@ -876,4 +876,34 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"blocklist should be a broadcast anti-join:\n$plan")
   }
+
+  // --- tool transitions (x44) -----------------------------------------------
+
+  test("toolTransitions counts (prev tool -> tool) bigrams per conversation order") {
+    val ss = spark
+    import ss.implicits._
+    val turns = Seq(
+      ("A", 0, "search"), ("A", 1, "browse"), ("A", 2, "search"),
+      ("B", 0, "browse"), ("B", 1, "browse")
+    ).toDF("conv_id", "turn_idx", "tool")
+    val r = TrainingOps.toolTransitions(turns).collect()
+      .map(row => (row.getString(0), row.getString(1)) -> row.getLong(2)).toMap
+    assert(r == Map(
+      ("search", "browse") -> 1L,
+      ("browse", "search") -> 1L,
+      ("browse", "browse") -> 1L), s"got $r")
+  }
+
+  // --- percentile length-band filter (x45) ----------------------------------
+
+  test("lengthBandFilter keeps the in-plan [p05,p95] word-count band, no driver collect") {
+    val ss = spark
+    import ss.implicits._
+    // 20 docs with 1..20 words: p05 = 1.95, p95 = 19.05 -> keep 2..19
+    val docs = (1 to 20).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = TrainingOps.lengthBandFilter(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == (2L to 19L).toSet, s"got $kept")
+  }
 }
