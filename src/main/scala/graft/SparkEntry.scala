@@ -432,6 +432,11 @@ object SparkEntry {
     // 10^12-row swap, pinned by the x24 tolerance spec)
     "x45_length_band" -> ((s, dir) =>
       TrainingOps.lengthBandFilter(s.read.parquet(t(dir, "documents")))),
+    // composed keep/drop gate: length band + repetition + quality
+    // signals joined on doc_id, thresholds in-plan; the auditable
+    // per-signal 0/1 flags + the final keep decision
+    "x46_filter_gate" -> ((s, dir) =>
+      TrainingOps.filterGate(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -616,6 +621,43 @@ object SparkEntry {
 
   private val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  // Shared by q16 and the x46 composed gate (single source, no drift)
+  private val qualityOracleSql =
+    """SELECT doc_id, length(text) AS n_chars,
+      | CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      | length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+      | round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |   t -> list_contains(['the','and','for','that','with','this','from','are','was','have'], lower(t))))
+      |   * 1.0 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+      |                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 4)
+      |   AS stopword_ratio,
+      | round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 /
+      |   greatest(length(text), 1), 4) AS alpha_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // Shared by x26 and the x46 composed gate
+  private val repetitionOracleSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT doc_id,
+      |  unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]) AS g
+      | FROM w),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bi AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |              CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY 1),
+      |tg AS (SELECT doc_id,
+      |  unnest([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS g
+      | FROM w),
+      |tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+      |tri AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+      |               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tri
+      |        FROM tc GROUP BY 1)
+      |SELECT bi.doc_id AS doc_id, n_bigrams, top_bigram_n,
+      |  top_bigram_n * 10000 // n_bigrams AS top_bigram_bp,
+      |  dup_tri * 10000 // n_trigrams AS dup_trigram_bp
+      |FROM bi JOIN tri ON bi.doc_id = tri.doc_id
+      |ORDER BY doc_id""".stripMargin
   private def shinglesSql(n: String) = shinglesKSql(n, 5)
   private def shinglesKSql(n: String, k: Int) =
     s"[substr($n, i, $k) FOR i IN range(1, greatest(len($n)-${k - 1}, 1)+1)]"
@@ -1045,19 +1087,7 @@ object SparkEntry {
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin,
     "q15_lang_id" -> langIdSql,
-    "q16_quality" ->
-      """SELECT doc_id, length(text) AS n_chars,
-        | CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        | length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-        | round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |   t -> list_contains(['the','and','for','that','with','this','from','are','was','have'], lower(t))))
-        |   * 1.0 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-        |                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 4)
-        |   AS stopword_ratio,
-        | round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 /
-        |   greatest(length(text), 1), 4) AS alpha_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16_quality" -> qualityOracleSql,
     "q17_token_counts" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1226,26 +1256,7 @@ object SparkEntry {
         | count(*) FILTER (event_type = 'signup') AS signup,
         | count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "x26_repetition_stats" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |bg AS (SELECT doc_id,
-        |  unnest([array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]) AS g
-        | FROM w),
-        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
-        |bi AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-        |              CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY 1),
-        |tg AS (SELECT doc_id,
-        |  unnest([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]) AS g
-        | FROM w),
-        |tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
-        |tri AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
-        |               CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tri
-        |        FROM tc GROUP BY 1)
-        |SELECT bi.doc_id AS doc_id, n_bigrams, top_bigram_n,
-        |  top_bigram_n * 10000 // n_bigrams AS top_bigram_bp,
-        |  dup_tri * 10000 // n_trigrams AS dup_trigram_bp
-        |FROM bi JOIN tri ON bi.doc_id = tri.doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "x26_repetition_stats" -> repetitionOracleSql,
     "x27_redact_pii" -> {
       import graft.ops.TrainingOps.{EmailPat, PhonePat}
       s"""WITH pii AS (
@@ -1492,7 +1503,25 @@ object SparkEntry {
         |             quantile_cont(n_words, 0.95) AS p_hi FROM counted)
         |SELECT doc_id, n_words FROM counted, b
         |WHERE n_words >= p_lo AND n_words <= p_hi
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // x46: the q16 and x26 oracles verbatim as CTEs (shared vals — no
+    // drift), joined on doc_id with the in-plan percentile band
+    "x46_filter_gate" ->
+      s"""WITH q AS ($qualityOracleSql),
+         |r AS ($repetitionOracleSql),
+         |b AS (SELECT quantile_cont(n_tokens, 0.05) AS p_lo,
+         |             quantile_cont(n_tokens, 0.95) AS p_hi FROM q)
+         |SELECT q.doc_id, q.n_tokens, q.alpha_ratio, q.stopword_ratio,
+         | r.top_bigram_bp,
+         | CAST(CASE WHEN n_tokens >= p_lo AND n_tokens <= p_hi THEN 1 ELSE 0 END AS BIGINT) AS pass_len,
+         | CAST(CASE WHEN top_bigram_bp <= 2000 THEN 1 ELSE 0 END AS BIGINT) AS pass_rep,
+         | CAST(CASE WHEN alpha_ratio >= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS pass_alpha,
+         | CAST(CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END AS BIGINT) AS pass_stop,
+         | CAST(CASE WHEN n_tokens >= p_lo AND n_tokens <= p_hi
+         |            AND top_bigram_bp <= 2000 AND alpha_ratio >= 0.6
+         |            AND stopword_ratio >= 0.01 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM q JOIN r ON q.doc_id = r.doc_id CROSS JOIN b
+         |ORDER BY q.doc_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

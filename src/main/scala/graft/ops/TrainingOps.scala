@@ -1521,6 +1521,44 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Composed keep/drop gate — the end-to-end training-data filter
+    * decision a corpus pipeline applies before sampling: length inside
+    * the corpus [p05, p95] token band (thresholds in-plan, as in
+    * lengthBandFilter), bigram repetition below 20% (repetitionStats),
+    * alphabetic ratio >= 0.6 and stopword ratio >= 1% (qualityScore).
+    * Composes the public sub-operators directly; their internal
+    * orderBys are eliminated below the joins/aggregates by Catalyst
+    * (EliminateSorts), so the composition pays one final sort — the
+    * spec pins a single range-partition exchange. Flags ship as 0/1
+    * BIGINT (portable, auditable per signal). */
+  def filterGate(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs)
+    val r = repetitionStats(docs)
+    // same token formula as qualityScore, applied directly to the scan:
+    // an Aggregate over the ORDERED q frame would retain q's sort below
+    // it (EliminateSorts does not look through `percentile`), paying a
+    // pointless range exchange
+    val nTokens = when(length(trim(col("text"))) === 0, 0)
+      .otherwise(size(split(trim(col("text")), "\\s+"))).cast(LongType)
+    val bounds = docs.agg(
+      percentile(nTokens, lit(0.05)).as("p_lo"),
+      percentile(nTokens, lit(0.95)).as("p_hi"))
+    val passLen = col("n_tokens") >= col("p_lo") && col("n_tokens") <= col("p_hi")
+    val passRep = col("top_bigram_bp") <= 2000
+    val passAlpha = col("alpha_ratio") >= 0.6
+    val passStop = col("stopword_ratio") >= 0.01
+    q.join(r, "doc_id").crossJoin(broadcast(bounds))
+      .select(
+        col("doc_id"), col("n_tokens"), col("alpha_ratio"),
+        col("stopword_ratio"), col("top_bigram_bp"),
+        passLen.cast(LongType).as("pass_len"),
+        passRep.cast(LongType).as("pass_rep"),
+        passAlpha.cast(LongType).as("pass_alpha"),
+        passStop.cast(LongType).as("pass_stop"),
+        (passLen && passRep && passAlpha && passStop).cast(LongType).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** URL/domain blocklist filter — the C4/RefinedWeb-style source-level
     * drop stage. The testdata has no URL column, so the URL is
     * synthesized deterministically from doc_id (same convention as

@@ -906,4 +906,36 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).toSet
     assert(kept == (2L to 19L).toSet, s"got $kept")
   }
+
+  // --- composed filter gate (x46) -------------------------------------------
+
+  test("filterGate: each signal vetoes independently; internal sorts collapse to one") {
+    val ss = spark
+    import ss.implicits._
+    // doc i has i+4 words; n=12 -> token band [5.55, 15.45] cuts ids 1, 12
+    def letters(n: Int) = (0 until n).map(i => ('a' + i).toChar.toString * 2)
+    val docs = (1 to 12).map { i =>
+      val n = i + 4
+      val text = i match {
+        case 3 => Seq.fill(n)("spam").mkString(" ")            // repetition veto
+        case 4 => (1 to n).map(j => s"$j$j$j").mkString(" ")   // alpha veto
+        case 5 => letters(n).mkString(" ")                     // stopword veto
+        case _ => ("the" +: letters(n - 1)).mkString(" ")
+      }
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val r = TrainingOps.filterGate(docs)
+    val m = r.collect().map(row => row.getLong(0) -> row).toMap
+    assert(m(1L).getAs[Long]("pass_len") == 0L && m(1L).getAs[Long]("keep") == 0L)
+    assert(m(12L).getAs[Long]("pass_len") == 0L)
+    assert(m(3L).getAs[Long]("pass_rep") == 0L && m(3L).getAs[Long]("keep") == 0L)
+    assert(m(4L).getAs[Long]("pass_alpha") == 0L && m(4L).getAs[Long]("keep") == 0L)
+    assert(m(5L).getAs[Long]("pass_stop") == 0L && m(5L).getAs[Long]("keep") == 0L)
+    assert(m(2L).getAs[Long]("keep") == 1L, s"good doc must pass: ${m(2L)}")
+    // the sub-operators' own orderBys must be eliminated below the
+    // joins (EliminateSorts): one global sort = one range exchange
+    val plan = r.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.linesIterator.count(_.contains("Exchange rangepartitioning")) == 1,
+      s"composition must pay exactly one global sort:\n$plan")
+  }
 }
