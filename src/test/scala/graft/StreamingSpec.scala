@@ -259,4 +259,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)} " +
         s"(stream ${streamed.size} vs batch ${batch.size})")
   }
+
+  test("the batch convRollup plan runs unchanged as a streaming aggregation (complete mode)") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // multi-turn conversations; conversation 001 straddles the two
+    // micro-batches, so its counters must fold across state
+    def mt(n: Int, offset: Int): Seq[Turn] = (0 until n).map { i =>
+      val k = i + offset
+      Turn(f"rconv-${k / 7}%03d", k % 7, Seq("user", "assistant", "tool")(k % 3),
+        s"turn body $k words here", Seq("document", "receipt")(k % 2),
+        new Timestamp(1700000000000L + k * 1000L))
+    }
+    val input = MemoryStream[Turn]
+    val q = graft.ops.TrainingOps.convRollup(input.toDS().toDF())
+      .writeStream.format("memory").queryName("conv_rollup_out")
+      .outputMode(OutputMode.Complete).start()
+    input.addData(mt(10, 0))
+    q.processAllAvailable()
+    input.addData(mt(11, 10))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM conv_rollup_out")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val batch = graft.ops.TrainingOps.convRollup(mt(21, 0).toDF())
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(streamed.keySet == Set("rconv-000", "rconv-001", "rconv-002"))
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
 }
