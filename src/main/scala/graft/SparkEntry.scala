@@ -1497,7 +1497,8 @@ object SparkEntry {
     "x45_length_band" ->
       """WITH counted AS (
         | SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words
         | FROM documents),
         |b AS (SELECT quantile_cont(n_words, 0.05) AS p_lo,
         |             quantile_cont(n_words, 0.95) AS p_hi FROM counted)
@@ -1514,13 +1515,15 @@ object SparkEntry {
          |SELECT q.doc_id, q.n_tokens, q.alpha_ratio, q.stopword_ratio,
          | r.top_bigram_bp,
          | CAST(CASE WHEN n_tokens >= p_lo AND n_tokens <= p_hi THEN 1 ELSE 0 END AS BIGINT) AS pass_len,
-         | CAST(CASE WHEN top_bigram_bp <= 2000 THEN 1 ELSE 0 END AS BIGINT) AS pass_rep,
+         | CAST(CASE WHEN top_bigram_bp IS NOT NULL AND top_bigram_bp <= 2000
+         |      THEN 1 ELSE 0 END AS BIGINT) AS pass_rep,
          | CAST(CASE WHEN alpha_ratio >= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS pass_alpha,
          | CAST(CASE WHEN stopword_ratio >= 0.01 THEN 1 ELSE 0 END AS BIGINT) AS pass_stop,
          | CAST(CASE WHEN n_tokens >= p_lo AND n_tokens <= p_hi
-         |            AND top_bigram_bp <= 2000 AND alpha_ratio >= 0.6
+         |            AND top_bigram_bp IS NOT NULL AND top_bigram_bp <= 2000
+         |            AND alpha_ratio >= 0.6
          |            AND stopword_ratio >= 0.01 THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM q JOIN r ON q.doc_id = r.doc_id CROSS JOIN b
+         |FROM q LEFT JOIN r ON q.doc_id = r.doc_id CROSS JOIN b
          |ORDER BY q.doc_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =

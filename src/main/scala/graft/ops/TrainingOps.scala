@@ -674,7 +674,15 @@ object TrainingOps {
 
   /** Quality scoring: length / punctuation / stopword-density features —
     * pure column expressions, fully pushed into codegen. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    qualityScoreCore(docs).orderBy("doc_id")
+
+  /** Unsorted core (single source of the token/ratio formulas):
+    * filterGate aggregates percentile thresholds over this directly —
+    * an aggregate over the SORTED public frame would retain the sort
+    * below it (EliminateSorts does not look through `percentile`),
+    * paying a pointless range exchange. */
+  private[graft] def qualityScoreCore(docs: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val nTokens = when(length(trim(col("text"))) === 0, 0).otherwise(size(toks))
     val nAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
@@ -686,7 +694,6 @@ object TrainingOps {
       nAlpha.cast(LongType).as("n_alpha"),
       round(nStop.cast(DoubleType) / greatest(nTokens, lit(1)), 4).as("stopword_ratio"),
       round(nAlpha.cast(DoubleType) / greatest(length(col("text")), lit(1)), 4).as("alpha_ratio"))
-      .orderBy("doc_id")
   }
 
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
@@ -1509,9 +1516,11 @@ object TrainingOps {
     * spec pins that upgrade path. */
   def lengthBandFilter(docs: DataFrame, lo: Double = 0.05,
                        hi: Double = 0.95): DataFrame = {
-    val counted = docs.select(
-      col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_words"))
+    // same empty-text guard as qualityScore: split("") yields [""], so an
+    // unguarded size() would count a blank document as one word and let
+    // it through the very cut that exists to drop degenerate docs
+    val counted = qualityScoreCore(docs)
+      .select(col("doc_id"), col("n_tokens").as("n_words"))
     val bounds = counted.agg(
       percentile(col("n_words"), lit(lo)).as("p_lo"),
       percentile(col("n_words"), lit(hi)).as("p_hi"))
@@ -1526,28 +1535,28 @@ object TrainingOps {
     * the corpus [p05, p95] token band (thresholds in-plan, as in
     * lengthBandFilter), bigram repetition below 20% (repetitionStats),
     * alphabetic ratio >= 0.6 and stopword ratio >= 1% (qualityScore).
-    * Composes the public sub-operators directly; their internal
-    * orderBys are eliminated below the joins/aggregates by Catalyst
-    * (EliminateSorts), so the composition pays one final sort — the
-    * spec pins a single range-partition exchange. Flags ship as 0/1
-    * BIGINT (portable, auditable per signal). */
+    * Composes the sub-operators (quality via its unsorted core;
+    * repetitionStats' internal orderBy is eliminated below the join by
+    * EliminateSorts), so the composition pays one final sort — the
+    * spec pins a single range-partition exchange. EVERY input doc gets
+    * a gate row: docs too short for repetition stats arrive through
+    * the left join with a null top_bigram_bp and are vetoed, not
+    * dropped. Flags ship as 0/1 BIGINT (portable, auditable per
+    * signal). */
   def filterGate(docs: DataFrame): DataFrame = {
-    val q = qualityScore(docs)
+    val q = qualityScoreCore(docs)
     val r = repetitionStats(docs)
-    // same token formula as qualityScore, applied directly to the scan:
-    // an Aggregate over the ORDERED q frame would retain q's sort below
-    // it (EliminateSorts does not look through `percentile`), paying a
-    // pointless range exchange
-    val nTokens = when(length(trim(col("text"))) === 0, 0)
-      .otherwise(size(split(trim(col("text")), "\\s+"))).cast(LongType)
-    val bounds = docs.agg(
-      percentile(nTokens, lit(0.05)).as("p_lo"),
-      percentile(nTokens, lit(0.95)).as("p_hi"))
+    val bounds = qualityScoreCore(docs).agg(
+      percentile(col("n_tokens"), lit(0.05)).as("p_lo"),
+      percentile(col("n_tokens"), lit(0.95)).as("p_hi"))
     val passLen = col("n_tokens") >= col("p_lo") && col("n_tokens") <= col("p_hi")
-    val passRep = col("top_bigram_bp") <= 2000
+    // LEFT join: a doc too short for trigram stats still gets a gate row
+    // — absent repetition evidence is a VETO (keep=0 with a null
+    // top_bigram_bp), never a silent disappearance from the audit table
+    val passRep = col("top_bigram_bp").isNotNull && col("top_bigram_bp") <= 2000
     val passAlpha = col("alpha_ratio") >= 0.6
     val passStop = col("stopword_ratio") >= 0.01
-    q.join(r, "doc_id").crossJoin(broadcast(bounds))
+    q.join(r, Seq("doc_id"), "left").crossJoin(broadcast(bounds))
       .select(
         col("doc_id"), col("n_tokens"), col("alpha_ratio"),
         col("stopword_ratio"), col("top_bigram_bp"),

@@ -905,6 +905,15 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept = TrainingOps.lengthBandFilter(docs).collect()
       .map(_.getLong(0)).toSet
     assert(kept == (2L to 19L).toSet, s"got $kept")
+    // empty text counts 0 words (split("") is [""], size 1 unguarded):
+    // with nine 1-word docs p_lo = 0.45, so the blank doc must fall
+    // BELOW the band — the unguarded formula would count it as 1 word
+    // and pass it
+    val withBlank = ((1L, "   ") +: (2L to 10L).map(i => (i, "w")))
+      .toDF("doc_id", "text")
+    val kept2 = TrainingOps.lengthBandFilter(withBlank).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept2 == (2L to 10L).toSet, s"blank doc must be cut: $kept2")
   }
 
   // --- composed filter gate (x46) -------------------------------------------
@@ -937,5 +946,18 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = r.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(plan.linesIterator.count(_.contains("Exchange rangepartitioning")) == 1,
       s"composition must pay exactly one global sort:\n$plan")
+    // a doc too short for trigram stats still gets a DECIDED gate row:
+    // repetition evidence absent -> pass_rep=0, keep=0, null bigram bp
+    val short = Seq(
+      (1L, "hello world"),
+      (2L, "the aa bb cc dd ee ff gg hh ii"),
+      (3L, "the bb cc dd ee ff gg hh ii jj"),
+      (4L, "the cc dd ee ff gg hh ii jj kk")).toDF("doc_id", "text")
+    val g = TrainingOps.filterGate(short).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(g.size == 4, s"every doc must get a gate row: ${g.keySet}")
+    assert(g(1L).getAs[Long]("pass_rep") == 0L && g(1L).getAs[Long]("keep") == 0L)
+    assert(g(1L).isNullAt(g(1L).fieldIndex("top_bigram_bp")))
+    assert(g(2L).getAs[Long]("keep") == 1L, s"normal doc must pass: ${g(2L)}")
   }
 }
