@@ -437,6 +437,12 @@ object SparkEntry {
     // per-signal 0/1 flags + the final keep decision
     "x46_filter_gate" -> ((s, dir) =>
       TrainingOps.filterGate(s.read.parquet(t(dir, "documents")))),
+    // product-quantization ANN over the planted-cluster view — the
+    // compressed-codes regime completing brute/IVF/LSH; spec-verified
+    // (recall@20 vs brute), no oracle: the subspace k-means float
+    // iterations are not portable across engines (same class as x04)
+    "x47_ann_pq" -> ((s, dir) =>
+      TrainingOps.annPq(clusteredEmbeddings(s, dir))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state

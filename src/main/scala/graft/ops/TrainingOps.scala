@@ -545,6 +545,94 @@ object TrainingOps {
       .limit(k)
   }
 
+  /** Product-quantization ANN — the memory-bound regime completing the
+    * ANN family (brute = exact, IVF = partition pruning, LSH = bit
+    * signatures, PQ = compressed codes + asymmetric distance). Each
+    * embedding splits into `m` contiguous subvectors; per subspace a
+    * deterministic L2 k-means (sample = first sampleN by vec_id, same
+    * convention as IVF) learns `ks` sub-centroids; every vector's
+    * subvector quantizes to its nearest sub-centroid and the
+    * approximate query dot is the sum of m precomputed
+    * query·sub-centroid lookups (ADC), all as broadcast literals in
+    * one narrow codegen'd pass — no shuffle until the final top-k. At
+    * cluster scale the m small codes (m bytes/vector) are written once
+    * and scanned instead of the full float vectors (4·dims bytes): the
+    * scan shrinks ~dims·4/m-fold. The top `rerank` ADC candidates
+    * re-rank by exact cosine (same contract as annBruteForce: query =
+    * lowest vec_id, excluded), so recall is directly measurable. */
+  def annPq(embeddings: DataFrame, k: Int = 20, m: Int = 8, ks: Int = 16,
+            iters: Int = 10, sampleN: Int = 512, rerank: Int = 100): DataFrame = {
+    val sample = embeddings.orderBy("vec_id").limit(sampleN)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val qId = sample.head._1
+    val qVec = sample.head._2
+    val dims = qVec.length
+    val subDim = math.max(dims / m, 1)
+    def lo(s: Int) = s * subDim
+    def hi(s: Int) = if (s == m - 1) dims else lo(s) + subDim
+    // plain L2 k-means on RAW subvectors (PQ quantizes unnormalized
+    // residual space — the spherical kmeansCentroids would distort it)
+    def kmeansL2(vs: Array[Seq[Double]], kc: Int, it: Int): Array[Seq[Double]] = {
+      var cents = vs.take(kc)
+      for (_ <- 0 until it) {
+        val sums = Array.fill(cents.length)(new Array[Double](vs.head.length))
+        val counts = new Array[Int](cents.length)
+        for (v <- vs) {
+          var best = 0; var bestD = Double.MaxValue
+          for (c <- cents.indices) {
+            var d = 0.0; var i = 0
+            while (i < v.length) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+          }
+          counts(best) += 1
+          for (i <- v.indices) sums(best)(i) += v(i)
+        }
+        cents = cents.indices.map(c =>
+          if (counts(c) == 0) cents(c) else sums(c).toSeq.map(_ / counts(c))).toArray
+      }
+      cents
+    }
+    val books = (0 until m).map(s => kmeansL2(sample.map(_._2.slice(lo(s), hi(s))), ks, iters))
+    val qNorm = math.sqrt(qVec.map(x => x * x).sum)
+    // ADC lookup tables: query-subvector · sub-centroid, query-normalized
+    val qTables = (0 until m).map { s =>
+      val qs = qVec.slice(lo(s), hi(s))
+      books(s).map(c => c.iterator.zip(qs.iterator).map { case (x, y) => x * y }.sum / qNorm).toSeq
+    }
+    val e = asDouble(col("embedding"))
+    // per-subspace distance arrays as NAMED columns, then the argmin
+    // lookup against them — no SQL-text round-trips of lambda columns
+    val distCols = (0 until m).map { s =>
+      val sub = slice(e, lo(s) + 1, hi(s) - lo(s))
+      transform(typedLit(books(s).map(_.toSeq).toSeq), c =>
+        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, v) => a + v)).as(s"d$s")
+    }
+    val lookups = (0 until m).map { s =>
+      element_at(typedLit(qTables(s)),
+        array_position(col(s"d$s"), array_min(col(s"d$s"))).cast("int"))
+    }
+    val qVecLit = typedLit(qVec)
+    embeddings
+      .filter(col("vec_id") =!= qId)
+      .select(col("vec_id") +: col("embedding") +: distCols: _*)
+      .select(col("vec_id"), col("embedding"), lookups.reduce(_ + _).as("adc"))
+      .orderBy(desc("adc"), col("vec_id"))
+      .limit(rerank)
+      .select(col("vec_id"), round(cosine(asDouble(col("embedding")), qVecLit), 3).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** recall@k of the PQ path vs brute force (same honesty metric as
+    * ivfRecallAtK / lshRecallAtK). */
+  def pqRecallAtK(embeddings: DataFrame, k: Int = 20): Double = {
+    val truth = annBruteForce(embeddings, k).select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = annPq(embeddings, k).select("vec_id").collect().map(_.getLong(0)).toSet
+    if (truth.isEmpty) 1.0 else (truth & got).size.toDouble / truth.size
+  }
+
   /** recall@k of the IVF path vs the brute-force ground truth — the
     * honesty metric round-1 lacked (VERDICT "What's wrong" #5). */
   def ivfRecallAtK(embeddings: DataFrame, k: Int = 20): Double = {

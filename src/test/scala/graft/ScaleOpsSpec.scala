@@ -654,6 +654,12 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"clustered-regime recall@20 = $recall < 0.9")
   }
 
+  test("annPq recall@20 >= 0.9 on clustered embeddings (compressed-codes regime)") {
+    val emb = SparkEntry.clusteredEmbeddings(spark, sfMid)
+    val recall = TrainingOps.pqRecallAtK(emb, 20)
+    assert(recall >= 0.9, s"PQ recall@20 = $recall < 0.9")
+  }
+
   // --- round-4: component ops fail loudly past their round caps ------------
 
   test("labelPropagationComponents throws past the 50-round cap; star handles the same graph") {
