@@ -109,7 +109,10 @@ object Bench {
       // dedup, unigram-LM quality, domain blocklist
       "x40_conv_rollup", "x41_winnow_containment", "x42_unigram_logprob",
       "x43_domain_blocklist", "x44_tool_transitions", "x45_length_band",
-      "x46_filter_gate", "x47_ann_pq")
+      "x46_filter_gate", "x47_ann_pq",
+      // round-4 close: exact-substring span dedup, cluster canonical
+      // selection, context-window chunking
+      "x48_repeated_spans", "x49_canonical_docs", "x50_chunking")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

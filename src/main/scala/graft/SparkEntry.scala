@@ -443,6 +443,19 @@ object SparkEntry {
     // iterations are not portable across engines (same class as x04)
     "x47_ann_pq" -> ((s, dir) =>
       TrainingOps.annPq(clusteredEmbeddings(s, dir))),
+    // exact repeated-span detection (Lee et al. 2022 substring dedup):
+    // first-occurrence rank over the 13-token gram key, then a per-doc
+    // gaps-and-islands merge into maximal spans
+    "x48_repeated_spans" -> ((s, dir) =>
+      TrainingOps.repeatedSpans(s.read.parquet(t(dir, "documents")))),
+    // dedup policy: keep the highest-quality member per near-dup
+    // component (star-contraction member labels × quality rank)
+    "x49_canonical_docs" -> ((s, dir) =>
+      TrainingOps.canonicalDocs(s.read.parquet(t(dir, "documents")))),
+    // pretraining context-window chunking: width-32/stride-24 token
+    // windows + a tail window so every token is covered
+    "x50_chunking" -> ((s, dir) =>
+      TrainingOps.chunkDocs(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1530,7 +1543,81 @@ object SparkEntry {
          |            AND alpha_ratio >= 0.6
          |            AND stopword_ratio >= 0.01 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM q LEFT JOIN r ON q.doc_id = r.doc_id CROSS JOIN b
-         |ORDER BY q.doc_id""".stripMargin)
+         |ORDER BY q.doc_id""".stripMargin,
+    // x48: identical 60-bit gram fingerprints (x19's recipe), the same
+    // first-occurrence rank, and the same islands merge in SQL windows
+    "x48_repeated_spans" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, regexp_split_to_array($normSql, ' ') AS toks FROM documents),
+         |win AS (
+         | SELECT doc_id, unnest([{'s': i,
+         |   'g': CAST(('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 15)) AS BIGINT)}
+         |   FOR i IN range(1, greatest(len(toks)-12, 0)+1)], recursive:=true)
+         | FROM tok WHERE len(toks) >= 13),
+         |ranked AS (
+         | SELECT doc_id, s, row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn
+         | FROM win),
+         |dup AS (SELECT doc_id, s AS w_start, s + 12 AS w_end FROM ranked WHERE rn > 1),
+         |flagged AS (
+         | SELECT doc_id, w_start, w_end,
+         |  CASE WHEN max(w_end) OVER (PARTITION BY doc_id ORDER BY w_start
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= w_start - 1
+         |       THEN 0 ELSE 1 END AS brk
+         | FROM dup),
+         |isl AS (
+         | SELECT doc_id, w_start, w_end,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY w_start ROWS UNBOUNDED PRECEDING) AS island
+         | FROM flagged)
+         |SELECT doc_id, CAST(min(w_start) AS BIGINT) AS span_start,
+         | CAST(max(w_end) AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_windows
+         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    // x49: x14's recursive-CTE component labels (per member, not
+    // aggregated) joined to the q16 quality columns; rank + keep flag
+    "x49_canonical_docs" ->
+      s"""WITH RECURSIVE $jaccardCoreCtes,
+         |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (
+         | SELECT id_a AS a, id_b AS b FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+         | UNION
+         | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+         |q AS (SELECT doc_id, length(text) AS n_chars,
+         |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 /
+         |    greatest(length(text), 1), 4) AS alpha_ratio
+         | FROM documents),
+         |ranked AS (
+         | SELECT doc_id, component, alpha_ratio,
+         |  CAST(row_number() OVER (PARTITION BY component
+         |    ORDER BY alpha_ratio DESC, n_chars DESC, doc_id ASC) AS BIGINT) AS q_rank
+         | FROM lab JOIN q USING (doc_id))
+         |SELECT doc_id, component, q_rank,
+         | CAST(CASE WHEN q_rank = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep, alpha_ratio
+         |FROM ranked ORDER BY doc_id""".stripMargin,
+    // x50: the same strided starts (list range + conditional tail
+    // append) and clamped list slices
+    "x50_chunking" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, regexp_split_to_array($normSql, ' ') AS toks FROM documents),
+         |st0 AS (
+         | SELECT doc_id, toks,
+         |  range(1, greatest(len(toks)-31, 1)+1, 24) AS s0 FROM tok),
+         |st AS (
+         | SELECT doc_id, toks,
+         |  CASE WHEN s0[-1] + 31 < len(toks)
+         |       THEN list_append(s0, greatest(len(toks)-31, 1)) ELSE s0 END AS starts
+         | FROM st0),
+         |ch AS (
+         | SELECT doc_id, toks,
+         |  unnest([{'ci': i, 'cs': starts[i]} FOR i IN range(1, len(starts)+1)],
+         |         recursive:=true)
+         | FROM st)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, CAST(cs AS BIGINT) AS chunk_start,
+         | CAST(len(toks[cs:cs+31]) AS BIGINT) AS n_tokens,
+         | array_to_string(toks[cs:cs+31], ' ') AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

@@ -294,6 +294,24 @@ object TrainingOps {
     * measurable O(log n) claim (spec: a 10k-node path converges in
     * under ~25 rounds where min-label propagation would need 10k). */
   private[graft] def connectedComponentsStarWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    val (labels, labelIds, rounds) = connectedComponentsStarMembersWithRounds(pairs)
+    try {
+      val out = labels.groupBy("comp")
+        .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
+        .select(col("comp").as("component"), col("n_docs"), col("max_doc"))
+        .orderBy("component")
+        .localCheckpoint(true) // materialized BEFORE the finally releases labels
+      (out, rounds)
+    } finally releaseRdds(labels, labelIds)
+  }
+
+  /** The per-member fixed point under the aggregate: (id, comp) labels
+    * for every node in the pair graph, eagerly checkpointed. Returns the
+    * checkpoint block ids so the caller can release them (canonicalDocs
+    * consumes the labels directly; the aggregate surfaces above derive
+    * their component table from the same labels). */
+  private[graft] def connectedComponentsStarMembersWithRounds(
+      pairs: DataFrame): (DataFrame, Set[Int], Int) = {
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val m = nbrs.groupBy("u").agg(least(min("v"), first("u")).as("m"))
@@ -355,13 +373,10 @@ object TrainingOps {
     // fixed point: edges = {(node, root)} stars; roots attach to themselves
     val roots = edges.select(col("v").as("id"), col("v").as("comp")).distinct()
     val members = edges.select(col("u").as("id"), col("v").as("comp"))
-    val out = members.union(roots).distinct()
-      .groupBy("comp")
-      .agg(count(lit(1)).as("n_docs"), max("id").as("max_doc"))
-      .select(col("comp").as("component"), col("n_docs"), col("max_doc"))
-      .orderBy("component")
-      .localCheckpoint(true) // materialized BEFORE the finally releases edges
-    (out, rounds)
+    // tracked eager checkpoint: materialized BEFORE the finally releases
+    // the edge blocks; the caller owns (and must release) the label blocks
+    val (labels, labelIds) = trackedCheckpoint(members.union(roots).distinct())
+    (labels, labelIds, rounds)
     } finally releaseRdds(edges, edgeIds)
   }
 
@@ -1681,5 +1696,113 @@ object TrainingOps {
     withUrl.join(broadcast(block), Seq("domain"), "left_anti")
       .select("doc_id", "url", "domain")
       .orderBy("doc_id")
+  }
+
+  /** Exact repeated-span detection — the exact-substring dedup pass of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): every maximal token span all of whose length-`n`
+    * windows already occurred earlier in the corpus (earlier = smaller
+    * (doc_id, start) in corpus order) — i.e. the regions a
+    * substring-dedup rewrite would cut. Three stages, all shuffle-
+    * bounded: (1) ONE generate to (doc_id, start, gram-hash) rows —
+    * hash is the portable 60-bit md5 prefix shared with
+    * decontamination, so DuckDB fingerprints identically; (2) a
+    * row_number window keyed on the gram picks each gram's first
+    * occurrence (one shuffle on the gram key — the same key an
+    * aggregate would shuffle on; a pathologically frequent boilerplate
+    * gram makes a hot key → at corpus scale cap per-gram fanout first,
+    * x41's df-cap move, or let AQE skew-split); later occurrences are
+    * duplicate windows; (3) a per-doc gaps-and-islands window merges
+    * overlapping/adjacent windows into maximal spans — parallel across
+    * docs, and island windows are bounded by doc length. Offsets are
+    * 1-based positions in the normalized token stream. */
+  def repeatedSpans(docs: DataFrame, n: Int = 13): DataFrame = {
+    val toks = split(normText(col("text")), " ")
+    val wins = docs
+      .filter(size(split(normText(col("text")), " ")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => conv(substring(md5(concat_ws(" ", slice(toks, i.cast("int"), lit(n)))), 1, 15), 16, 10)
+            .cast(LongType))).as(Seq("off", "g")))
+      .select(col("doc_id"), (col("off") + 1).cast(LongType).as("w_start"), col("g"))
+    val firstOcc = Window.partitionBy("g").orderBy("doc_id", "w_start")
+    val dups = wins.withColumn("rn", row_number().over(firstOcc))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("w_start"), (col("w_start") + (n - 1)).as("w_end"))
+    val perDoc = Window.partitionBy("doc_id").orderBy("w_start")
+    // island break iff no preceding window reaches (or touches) this one;
+    // the null first-row comparison falls through to the ELSE like SQL
+    val prevMax = max("w_end")
+      .over(perDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = dups.withColumn("brk",
+      when(prevMax >= col("w_start") - 1, 0L).otherwise(1L))
+    val islands = flagged.withColumn("island",
+      sum("brk").over(perDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy("doc_id", "island")
+      .agg(min("w_start").as("span_start"), max("w_end").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Canonical-document selection — the dedup POLICY step that turns
+    * near-dup clusters into keep/drop decisions: each member of an x13
+    * near-dup component is ranked by quality (alpha ratio desc, then
+    * doc length desc, then smallest doc_id — a total, deterministic
+    * order) and only the best is kept. One auditable row per cluster
+    * member. Scale shape: component labels come from the O(log n)
+    * large-star/small-star contraction (per-member fixed point, not
+    * the aggregated component table); the quality join is doc_id-keyed;
+    * the rank window partitions by component — near-dup clusters are
+    * small by construction, so no skewed window partition. */
+  def canonicalDocs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = jaccardNearDupPairs(docs, threshold).select("id_a", "id_b")
+    val (labels, labelIds, _) = connectedComponentsStarMembersWithRounds(pairs)
+    try {
+      val q = qualityScoreCore(docs).select("doc_id", "n_chars", "alpha_ratio")
+      val rank = Window.partitionBy("component")
+        .orderBy(col("alpha_ratio").desc, col("n_chars").desc, col("doc_id").asc)
+      labels.select(col("id").as("doc_id"), col("comp").as("component"))
+        .join(q, Seq("doc_id"))
+        .withColumn("q_rank", row_number().over(rank).cast(LongType))
+        .select(col("doc_id"), col("component"), col("q_rank"),
+          when(col("q_rank") === 1L, 1L).otherwise(0L).as("keep"),
+          col("alpha_ratio"))
+        .orderBy("doc_id")
+        .localCheckpoint(true) // materialized BEFORE the finally releases labels
+    } finally releaseRdds(labels, labelIds)
+  }
+
+  /** Context-window chunking — the pretraining-chunk / RAG-passage
+    * pass: per document, windows of `width` tokens every `stride`
+    * tokens over the normalized token stream, plus one tail window
+    * ending exactly at the last token when the strided grid would
+    * leave a tail uncovered (so every token lands in >=1 chunk and no
+    * chunk is shorter than the tail remainder). Pure per-row generate:
+    * embarrassingly parallel, no shuffle but the output sort — which a
+    * 100 TB sink drops entirely (chunk order inside the corpus is
+    * irrelevant; the orderBy is for the deterministic oracle diff). */
+  def chunkDocs(docs: DataFrame, width: Int = 32, stride: Int = 24): DataFrame = {
+    val toks = split(normText(col("text")), " ")
+    val d = docs.select(col("doc_id"), toks.as("toks"))
+    val nToks = size(col("toks"))
+    val lastFull = greatest(nToks - (width - 1), lit(1))
+    val base = sequence(lit(1), lastFull, lit(stride))
+    // tail window: appended start never equals the last strided start
+    // (equality would require the last strided window to already cover
+    // the end), so no duplicate chunk can arise
+    val starts = when(element_at(base, -1) + (width - 1) < nToks,
+      concat(base, array(lastFull))).otherwise(base)
+    d.select(col("doc_id"), col("toks"), posexplode(starts).as(Seq("ci", "cs")))
+      .select(
+        col("doc_id"),
+        (col("ci") + 1).cast(LongType).as("chunk_idx"),
+        col("cs").cast(LongType).as("chunk_start"),
+        size(slice(col("toks"), col("cs").cast("int"), lit(width)))
+          .cast(LongType).as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("cs").cast("int"), lit(width)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
   }
 }

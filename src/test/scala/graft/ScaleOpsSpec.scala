@@ -966,4 +966,85 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g(1L).isNullAt(g(1L).fieldIndex("top_bigram_bp")))
     assert(g(2L).getAs[Long]("keep") == 1L, s"normal doc must pass: ${g(2L)}")
   }
+
+  // --- repeated spans (x48) -------------------------------------------------
+
+  test("repeatedSpans marks exactly the copied token runs, merged into maximal spans") {
+    val ss = spark
+    import ss.implicits._
+    val a = (1 to 30).map(i => s"qa$i")
+    // doc 2: A's first 15 tokens then unique tail -> windows 1..3 dup,
+    // islands merge them into ONE span [1,15]
+    val b = a.take(15) ++ (1 to 10).map(i => s"qb$i")
+    // doc 3: two separate copies of A's first 13 tokens -> TWO spans
+    val c = (1 to 5).map(i => s"qc$i") ++ a.take(13) ++
+      (6 to 10).map(i => s"qc$i") ++ a.take(13)
+    val docs = Seq(
+      (1L, a.mkString(" ")), (2L, b.mkString(" ")), (3L, c.mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TrainingOps.repeatedSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_windows")))
+    assert(got.toSeq == Seq(
+      (2L, 1L, 15L, 3L),   // starts 1,2,3 cover tokens 1..15
+      (3L, 6L, 18L, 1L),   // first embedded copy
+      (3L, 24L, 36L, 1L)), // second copy: separate island (gap > adjacency)
+      s"unexpected spans: ${got.mkString(", ")}")
+    // no span row for the first occurrence itself
+    assert(!got.exists(_._1 == 1L), "the original must not be flagged")
+  }
+
+  // --- canonical docs (x49) ---------------------------------------------------
+
+  test("canonicalDocs keeps exactly one member per cluster, ranked by quality then doc_id") {
+    val ss = spark
+    import ss.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while a curious " +
+      "cat watches from the warm windowsill near the garden gate and the " +
+      "old oak tree casts long shadows across the quiet afternoon lawn"
+    val docs = Seq(
+      (10L, base),                    // exact dup of 11 -> tie broken by id
+      (11L, base),
+      (12L, base + " 4444 4444"),     // digits depress alpha_ratio -> rank 3
+      (99L, "completely unrelated content about distributed query engines " +
+        "and shuffle partitioning strategies for large analytical workloads")
+    ).toDF("doc_id", "text")
+    val rows = TrainingOps.canonicalDocs(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(10L, 11L, 12L), s"cluster members only: ${rows.keySet}")
+    assert(rows.values.forall(_.getAs[Long]("component") == 10L))
+    assert(rows(10L).getAs[Long]("q_rank") == 1L && rows(10L).getAs[Long]("keep") == 1L)
+    assert(rows(11L).getAs[Long]("q_rank") == 2L && rows(11L).getAs[Long]("keep") == 0L)
+    assert(rows(12L).getAs[Long]("q_rank") == 3L && rows(12L).getAs[Long]("keep") == 0L)
+    // the policy invariant: exactly one keep per component
+    assert(rows.values.count(_.getAs[Long]("keep") == 1L) == 1)
+  }
+
+  // --- chunking (x50) ---------------------------------------------------------
+
+  test("chunkDocs covers every token: strided grid plus tail window, clamped shorts") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // tail appended: 69
+      (2L, (1 to 10).map(i => s"s$i").mkString(" ")),  // single clamped chunk
+      (3L, (1 to 56).map(i => s"u$i").mkString(" "))   // grid ends exactly at n
+    ).toDF("doc_id", "text")
+    val rows = TrainingOps.chunkDocs(docs).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc(1L).map(_.getAs[Long]("chunk_start")).toSeq == Seq(1L, 25L, 49L, 69L))
+    assert(byDoc(1L).forall(_.getAs[Long]("n_tokens") == 32L))
+    assert(byDoc(2L).map(r => (r.getAs[Long]("chunk_start"), r.getAs[Long]("n_tokens"))).toSeq
+      == Seq((1L, 10L)))
+    assert(byDoc(3L).map(_.getAs[Long]("chunk_start")).toSeq == Seq(1L, 25L),
+      "no tail chunk when the grid already ends at the last token")
+    // coverage: every token index of doc 1 inside >= 1 chunk
+    val covered = byDoc(1L).flatMap { r =>
+      val s = r.getAs[Long]("chunk_start"); s until (s + r.getAs[Long]("n_tokens"))
+    }.toSet
+    assert(covered == (1L to 100L).toSet, "chunks must cover the full token stream")
+    // text reconstruction: first chunk of doc 1 is tokens 1..32 verbatim
+    val first = rows.find(r => r.getLong(0) == 1L && r.getAs[Long]("chunk_idx") == 1L).get
+    assert(first.getAs[String]("chunk_text") == (1 to 32).map(i => s"t$i").mkString(" "))
+  }
 }
