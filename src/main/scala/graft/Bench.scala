@@ -112,7 +112,8 @@ object Bench {
       "x46_filter_gate", "x47_ann_pq",
       // round-4 close: exact-substring span dedup, cluster canonical
       // selection, context-window chunking
-      "x48_repeated_spans", "x49_canonical_docs", "x50_chunking")
+      "x48_repeated_spans", "x49_canonical_docs", "x50_chunking",
+      "x51_mixture_sample")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

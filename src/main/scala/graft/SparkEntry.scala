@@ -456,6 +456,10 @@ object SparkEntry {
     // windows + a tail window so every token is covered
     "x50_chunking" -> ((s, dir) =>
       TrainingOps.chunkDocs(s.read.parquet(t(dir, "documents")))),
+    // data-mixture sampling: per-source acceptance rates toward uniform
+    // shares under a 0.5 global budget, deterministic hash acceptance
+    "x51_mixture_sample" -> ((s, dir) =>
+      TrainingOps.mixtureSample(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1617,7 +1621,27 @@ object SparkEntry {
          |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, CAST(cs AS BIGINT) AS chunk_start,
          | CAST(len(toks[cs:cs+31]) AS BIGINT) AS n_tokens,
          | array_to_string(toks[cs:cs+31], ' ') AS chunk_text
-         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    // x51: identical integer aggregates feed the identical IEEE double
+    // rate expression; the decision compares the 32-bit doc hash
+    // against the same floored integer cut in both engines
+    "x51_mixture_sample" ->
+      """WITH m AS (
+        | SELECT source, CAST(sum(length(text)) AS BIGINT) AS src_chars
+        | FROM documents GROUP BY source),
+        |t AS (
+        | SELECT CAST(sum(src_chars) AS BIGINT) AS total_chars,
+        |        count(*) AS n_sources FROM m),
+        |r AS (
+        | SELECT source, src_chars,
+        |  CAST(floor(least(1.0,
+        |    (0.5 * total_chars * (1.0 / n_sources)) / greatest(src_chars, 1))
+        |    * 4294967296.0) AS BIGINT) AS cut
+        | FROM m CROSS JOIN t)
+        |SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS n_chars, r.cut
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < r.cut
+        |ORDER BY d.doc_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

@@ -1805,4 +1805,44 @@ object TrainingOps {
           .as("chunk_text"))
       .orderBy("doc_id", "chunk_idx")
   }
+
+  /** Data-mixture sampling — the per-source token-budget rebalancing
+    * pass of a pretraining pipeline (the "web gets downweighted, books
+    * get kept" stage): with uniform target shares over the observed
+    * sources and a global budget fraction, each source gets acceptance
+    * rate min(1, budget·total·(1/n_sources) / source_mass) and docs
+    * are kept by the same salted deterministic hash rule as x20 —
+    * reproducible at any cluster size, no RNG state, stable under
+    * repartitioning. Over-represented sources are downsampled toward
+    * the target; under-budget sources keep every doc (rate caps at 1).
+    * Scale shape: ONE aggregation builds the (source, mass) table;
+    * sources are a structural label set (tiny by construction — unlike
+    * x21's vocabulary, so the broadcast is justified) and the corpus
+    * is touched exactly twice (mass pass + filter pass), never
+    * shuffled. The acceptance cut ships as an integer
+    * floor(rate·2^32): both engines compare the 32-bit doc hash
+    * against the same integer, so no float ever crosses the engine
+    * boundary at decision time. */
+  def mixtureSample(docs: DataFrame, budgetShare: Double = 0.5): DataFrame = {
+    val masses = docs.groupBy("source")
+      .agg(sum(length(col("text"))).cast(LongType).as("src_chars"))
+    val tot = masses.agg(
+      sum("src_chars").cast(LongType).as("total_chars"),
+      count(lit(1)).as("n_sources"))
+    // rate arithmetic mirrors the oracle token-for-token: both engines
+    // run the identical IEEE double expression tree over identical
+    // integer aggregates, so the floored cut is bit-equal
+    val cuts = masses.crossJoin(tot).select(
+      col("source"), col("src_chars"),
+      floor(least(lit(1.0),
+        (lit(budgetShare) * col("total_chars") * (lit(1.0) / col("n_sources"))) /
+          greatest(col("src_chars"), lit(1L)))
+        * lit(4294967296.0)).cast(LongType).as("cut"))
+    docs.select(col("doc_id"), col("source"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .join(broadcast(cuts), Seq("source"))
+      .filter(portableHash(concat(lit("mix:"), col("doc_id").cast("string"))) < col("cut"))
+      .select("doc_id", "source", "n_chars", "cut")
+      .orderBy("doc_id")
+  }
 }

@@ -1047,4 +1047,37 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val first = rows.find(r => r.getLong(0) == 1L && r.getAs[Long]("chunk_idx") == 1L).get
     assert(first.getAs[String]("chunk_text") == (1 to 32).map(i => s"t$i").mkString(" "))
   }
+
+  // --- mixture sampling (x51) -------------------------------------------------
+
+  test("mixtureSample downsamples the over-represented source to its target and keeps the rest") {
+    val ss = spark
+    import ss.implicits._
+    // big: 60 docs x 100 chars = 6000; small: 5 docs x 20 chars = 100
+    val docs = ((1L to 60L).map(id => (id, "b" * 100, "big")) ++
+      (101L to 105L).map(id => (id, "s" * 20, "small"))).toDF("doc_id", "text", "source")
+    val rows = TrainingOps.mixtureSample(docs).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // under-budget source: rate caps at 1 -> cut = 2^32, every doc kept
+    assert((101L to 105L).forall(byId.contains), "small source must keep all docs")
+    assert(byId(101L).getAs[Long]("cut") == 4294967296L)
+    // independent recomputation of the kept set: same md5 rule and the
+    // same IEEE double expression, evaluated OUTSIDE Spark
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val rate = math.min(1.0, (0.5 * 6100L * (1.0 / 2)) / 6000.0)
+    val cut = math.floor(rate * 4294967296.0).toLong
+    val expectedBig = (1L to 60L).filter(id => h32(s"mix:$id") < cut).toSet
+    val gotBig = rows.filter(_.getAs[String]("source") == "big").map(_.getLong(0)).toSet
+    assert(gotBig == expectedBig, s"big keeps: got $gotBig expected $expectedBig")
+    assert(gotBig.nonEmpty && gotBig.size < 60, "over-represented source must be thinned")
+    assert(rows.filter(_.getAs[String]("source") == "big")
+      .forall(_.getAs[Long]("cut") == cut))
+    // empty corpus degrades to an empty result, no NPE
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(TrainingOps.mixtureSample(empty).collect().isEmpty)
+  }
 }
