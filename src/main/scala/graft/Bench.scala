@@ -113,7 +113,10 @@ object Bench {
       // round-4 close: exact-substring span dedup, cluster canonical
       // selection, context-window chunking
       "x48_repeated_spans", "x49_canonical_docs", "x50_chunking",
-      "x51_mixture_sample")
+      "x51_mixture_sample",
+      // round-4 tail: semantic (embedding-cluster) dedup, hashed
+      // linear quality scorer
+      "x52_semantic_dedup", "x53_hashed_quality")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

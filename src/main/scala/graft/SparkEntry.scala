@@ -460,6 +460,15 @@ object SparkEntry {
     // shares under a 0.5 global budget, deterministic hash acceptance
     "x51_mixture_sample" -> ((s, dir) =>
       TrainingOps.mixtureSample(s.read.parquet(t(dir, "documents")))),
+    // SemDeDup-style semantic dedup over the planted-cluster view:
+    // single-assignment cluster = low 12 signature bits, greedy
+    // keep-first-by-vec_id within cluster at cosine >= 0.9
+    "x52_semantic_dedup" -> ((s, dir) =>
+      TrainingOps.semanticDedup(clusteredEmbeddings(s, dir))),
+    // fastText-style hashing-trick linear scorer: bigram -> md5 bucket
+    // -> deterministic integer weight, one map-only projection per doc
+    "x53_hashed_quality" -> ((s, dir) =>
+      TrainingOps.hashedQualityScore(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1641,7 +1650,43 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS n_chars, r.cut
         |FROM documents d JOIN r ON d.source = r.source
         |WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < r.cut
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+    // x52: identical signatures (the x28 portable recipe), cluster =
+    // low 12 bits, and the same greedy drop-if-earlier-match rule as a
+    // NOT-EXISTS anti-join
+    "x52_semantic_dedup" ->
+      s"""WITH $clustEmbCte,
+         |sigs AS (${embedLshSigSqlFrom("cemb", "embedding")}),
+         |clust AS (SELECT vec_id, lsh_sig & 4095 AS cluster FROM sigs),
+         |dropped AS (
+         | SELECT DISTINCT x.vec_id
+         | FROM clust x JOIN clust e ON x.cluster = e.cluster AND e.vec_id < x.vec_id
+         | JOIN cemb ex ON ex.vec_id = x.vec_id
+         | JOIN cemb ee ON ee.vec_id = e.vec_id
+         | WHERE round(list_dot_product(ex.embedding, ee.embedding) /
+         |   (sqrt(list_dot_product(ex.embedding, ex.embedding)) *
+         |    sqrt(list_dot_product(ee.embedding, ee.embedding))), 3) >= 0.9)
+         |SELECT c.vec_id, c.cluster FROM clust c
+         |LEFT JOIN dropped d ON c.vec_id = d.vec_id
+         |WHERE d.vec_id IS NULL ORDER BY c.vec_id""".stripMargin,
+    // x53: the same two-stage md5 recipe (gram -> bucket -> weight) in
+    // pure integer arithmetic; list comprehension mirrors the
+    // higher-order transform 1:1 (both 1-based, pairs (i, i+1))
+    "x53_hashed_quality" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, regexp_split_to_array($normSql, ' ') AS toks FROM documents),
+         |scored AS (
+         | SELECT doc_id,
+         |  CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(CASE WHEN len(toks) >= 2 THEN list_sum([
+         |    CAST(('0x' || substr(md5('w:' ||
+         |      CAST(CAST(('0x' || substr(md5('qc:' || toks[i] || ' ' || toks[i+1]), 1, 8)) AS BIGINT)
+         |           % 4096 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000
+         |    FOR i IN range(1, len(toks))]) ELSE 0 END AS BIGINT) AS w_sum
+         | FROM tok)
+         |SELECT doc_id, n_bigrams, w_sum,
+         | CAST(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+         |FROM scored ORDER BY doc_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

@@ -1845,4 +1845,98 @@ object TrainingOps {
       .select("doc_id", "source", "n_chars", "cut")
       .orderBy("doc_id")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023) — the
+    * embedding-space dedup POLICY completing the family: where x34
+    * finds near-dup PAIRS via multi-band LSH, this op partitions the
+    * corpus into SINGLE-ASSIGNMENT semantic clusters and keeps a
+    * greedy independent set per cluster. Cluster id = the low
+    * `clusterBits` of the portable 48-bit sign-LSH signature (band 0
+    * of x34's banding) — the deterministic, cross-engine stand-in for
+    * the paper's k-means assignment (whose float iterations are not
+    * oracle-portable; same class as x04/x47). Within a cluster a
+    * vector drops when ANY earlier (lower vec_id) member matches at
+    * round(cosine, 3) >= threshold — the paper's max_{j<i} sim > eps
+    * rule with vec_id as the scan order, so chained over-dropping
+    * (1~2, 2~3, 1!~3 drops both 2 and 3) is the documented, faithful
+    * behavior, not a bug. Cross-cluster duplicates are missed by
+    * design — that recall loss is the single-assignment trade-off the
+    * paper accepts; x34's multi-band pass is the higher-recall
+    * complement. Scale shape: signature + cluster id is ONE narrow
+    * codegen'd pass; the only data shuffle is the equi-join on the
+    * cluster key, with per-cluster pair cost bounded by cluster size
+    * (`clusterBits` scales with the corpus — the paper runs ~100k
+    * clusters at LAION scale, here 2^12 covers the test tables); the
+    * dropped-id set re-enters as an anti-join whose strategy is left
+    * to AQE (small at test scale → broadcast; a 100 TB dropped set
+    * falls back to shuffle correctly). The clustered frame persists
+    * once so both self-join sides and the anti-join probe read one
+    * computation of the 48-plane projection (the x06 convention;
+    * Plan variant for specs). */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.9,
+                    clusterBits: Int = 12): DataFrame = {
+    val (plan, cached) = semanticDedupPlan(embeddings, threshold, clusterBits)
+    try plan.localCheckpoint(true) finally cached.unpersist()
+  }
+
+  private[graft] def semanticDedupPlan(
+      embeddings: DataFrame, threshold: Double = 0.9,
+      clusterBits: Int = 12): (DataFrame, DataFrame) = {
+    require(clusterBits >= 1 && clusterBits < EmbedLshBits,
+      s"clusterBits=$clusterBits out of range")
+    graft.GraftFunctions.register(embeddings.sparkSession)
+    val mask = (1L << clusterBits) - 1
+    val clustered = embeddings.select(
+      col("vec_id"),
+      asDouble(col("embedding")).as("v"),
+      call_function("embed_lsh_sig48", col("embedding"))
+        .bitwiseAND(lit(mask)).as("cluster"))
+      .persist()
+    val dropped = clustered
+      .join(clustered.select(col("cluster"), col("vec_id").as("earlier_id"),
+          col("v").as("ev")), Seq("cluster"))
+      .filter(col("earlier_id") < col("vec_id"))
+      .filter(round(cosine(col("v"), col("ev")), 3) >= threshold)
+      .select("vec_id").distinct()
+    val kept = clustered.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+    (kept, clustered)
+  }
+
+  /** Hashing-trick linear quality scorer — the fastText-style
+    * model-scoring pass of a filtering pipeline (Joulin et al. 2016,
+    * "Bag of Tricks"): each word bigram hashes into one of `buckets`
+    * feature buckets, the document score is the summed bucket weight,
+    * label = score > 0. The weight table is a deterministic
+    * md5-derived stand-in (no trained model ships in this
+    * environment — the multimodal-decode convention): what's under
+    * test is the hashing trick, the integer-only scoring (weights are
+    * basis points in [-1000, 1000] summed exactly in BIGINT — no
+    * float crosses the engine boundary), and the scale shape. Scale
+    * shape: ZERO shuffles but the deterministic-oracle sort — tokens,
+    * bigrams, bucket ids and the weight sum all evaluate inside one
+    * narrow higher-order-function projection per row (no explode: a
+    * 10^12-row corpus never materializes a bigram row set), so the op
+    * is map-only and a real sink drops the sort entirely. */
+  def hashedQualityScore(docs: DataFrame, buckets: Int = 4096): DataFrame = {
+    val d = docs.select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+    val n = size(col("toks"))
+    def bucket(g: Column) = pmod(portableHash(concat(lit("qc:"), g)), lit(buckets.toLong))
+    def weight(b: Column) =
+      pmod(portableHash(concat(lit("w:"), b.cast("string"))), lit(2001L)) - 1000L
+    val wsum = aggregate(
+      transform(sequence(lit(1), n - 1),
+        i => weight(bucket(concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1))))),
+      lit(0L), (a, x) => a + x)
+    d.select(
+      col("doc_id"),
+      greatest(n - 1, lit(0)).cast(LongType).as("n_bigrams"),
+      // the guard also keeps sequence(1, n-1) from going descending on
+      // 1-token docs (sequence(1, 0) = [1, 0], not empty)
+      when(n >= 2, wsum).otherwise(lit(0L)).as("w_sum"))
+      .withColumn("label", (col("w_sum") > 0).cast(LongType))
+      .orderBy("doc_id")
+  }
 }

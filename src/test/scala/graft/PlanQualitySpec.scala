@@ -499,4 +499,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       } finally bGrams.unpersist()
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("x53: hashed quality scorer is map-only — no Generate, only the presentation sort shuffles") {
+    val p = plan("x53_hashed_quality")
+    assert(!p.contains("Generate"),
+      s"bigram scoring must stay a per-row higher-order projection, not an explode:\n$p")
+    // rangepartitioning for the deterministic-oracle orderBy is the
+    // single allowed exchange; a real sink drops it entirely
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"scorer must not shuffle data:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no aggregation/join shuffle in a map-only op:\n$p")
+  }
 }

@@ -1080,4 +1080,72 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
     assert(TrainingOps.mixtureSample(empty).collect().isEmpty)
   }
+
+  // --- semantic dedup (x52) ---------------------------------------------------
+
+  test("semanticDedup keeps exactly the greedy per-cluster independent set (JVM recompute)") {
+    val emb = SparkEntry.clusteredEmbeddings(spark, sfMid)
+    val sigs = TrainingOps.embeddingLshSignatures(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      // same sequential fold order as TrainingOps.cosine -> identical IEEE sums
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+    val expectedKept = sigs.toSeq.groupBy { case (_, s) => s & 4095L }.flatMap {
+      case (_, members) =>
+        val sorted = members.map(_._1).sorted
+        // the paper's rule: i drops when ANY earlier j (kept or not)
+        // matches at >= t -- chained over-dropping is faithful behavior
+        sorted.filter(id => !sorted.takeWhile(_ < id)
+          .exists(e => r3(cos(vecs(id), vecs(e))) >= 0.9))
+    }.toSet
+    val got = TrainingOps.semanticDedup(emb)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == expectedKept,
+      s"missing ${(expectedKept -- got).take(5)} / extra ${(got -- expectedKept).take(5)}")
+    assert(got.size < vecs.size, "planted clusters must produce real drops")
+  }
+
+  // --- hashed quality scorer (x53) --------------------------------------------
+
+  test("hashedQualityScore matches a JVM recompute; short and blank docs score 0") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "Alpha beta gamma beta alpha"),
+      (2L, "one"), // 1 token -> 0 bigrams (and sequence(1,0) must not fire)
+      (3L, ""), // blank -> split yields [""], still 1 token
+      (4L, "Mixed   CASE  tokens here")) // \s+ collapse + lowering
+      .toDF("doc_id", "text")
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def score(text: String): (Long, Long) = {
+      val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1)
+      if (toks.length < 2) (math.max(toks.length - 1, 0).toLong, 0L)
+      else {
+        val s = toks.sliding(2).map { p =>
+          val b = h32(s"qc:${p(0)} ${p(1)}") % 4096L
+          h32(s"w:$b") % 2001L - 1000L
+        }.sum
+        ((toks.length - 1).toLong, s)
+      }
+    }
+    val got = TrainingOps.hashedQualityScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for ((id, text) <- Seq(1L -> "Alpha beta gamma beta alpha", 2L -> "one",
+        3L -> "", 4L -> "Mixed   CASE  tokens here")) {
+      val (nb, ws) = score(text)
+      val lbl = if (ws > 0) 1L else 0L
+      assert(got(id) == ((nb, ws, lbl)), s"doc $id: got ${got(id)} expected ($nb,$ws,$lbl)")
+    }
+    assert(got(2L) == ((0L, 0L, 0L)) && got(3L) == ((0L, 0L, 0L)))
+  }
 }
