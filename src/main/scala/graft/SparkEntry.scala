@@ -469,6 +469,10 @@ object SparkEntry {
     // -> deterministic integer weight, one map-only projection per doc
     "x53_hashed_quality" -> ((s, dir) =>
       TrainingOps.hashedQualityScore(s.read.parquet(t(dir, "documents")))),
+    // count-min-sketch heavy hitters: 4x1024 fixed-state counters via
+    // the portable md5 hash family, top-20 exact vs estimated counts
+    "x54_cms_heavy_hitters" -> ((s, dir) =>
+      TrainingOps.cmsHeavyHitters(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1686,7 +1690,30 @@ object SparkEntry {
          | FROM tok)
          |SELECT doc_id, n_bigrams, w_sum,
          | CAST(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
-         |FROM scored ORDER BY doc_id""".stripMargin)
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    // x54: the same md5 hash family ("cms:row:tok") builds the same
+    // 4x1024 counter table; min-over-rows estimate for the exact top-20
+    "x54_cms_heavy_hitters" ->
+      s"""WITH tok AS (
+         | SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         |tc AS (
+         | SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM tok
+         | WHERE tok <> '' GROUP BY tok),
+         |cells AS (
+         | SELECT t.r, CAST(('0x' || substr(md5('cms:' || t.r || ':' || tok), 1, 8)) AS BIGINT) % 1024 AS c,
+         |        n_exact
+         | FROM tc CROSS JOIN range(0, 4) t(r)),
+         |counters AS (
+         | SELECT r, c, CAST(sum(n_exact) AS BIGINT) AS cnt FROM cells GROUP BY r, c),
+         |top AS (SELECT tok, n_exact FROM tc ORDER BY n_exact DESC, tok LIMIT 20),
+         |probe AS (
+         | SELECT top.tok, top.n_exact, t.r,
+         |        CAST(('0x' || substr(md5('cms:' || t.r || ':' || top.tok), 1, 8)) AS BIGINT) % 1024 AS c
+         | FROM top CROSS JOIN range(0, 4) t(r))
+         |SELECT probe.tok AS token, probe.n_exact, CAST(min(counters.cnt) AS BIGINT) AS n_est
+         |FROM probe JOIN counters USING (r, c)
+         |GROUP BY probe.tok, probe.n_exact
+         |ORDER BY n_exact DESC, token""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

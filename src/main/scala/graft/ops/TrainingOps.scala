@@ -1904,6 +1904,59 @@ object TrainingOps {
     (kept, clustered)
   }
 
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) —
+    * the FIXED-STATE frequency sketch: `rows`×`width` counters
+    * (default 4×1024 cells) estimate any token's frequency with
+    * one-sided error, no matter how large the vocabulary. The scale
+    * story: a 10^12-token corpus with 10^9 distinct tokens reduces to
+    * a 4096-cell table — the sketch is the mergeable, shippable
+    * state; the exact per-token counts computed alongside here are
+    * the HONESTY baseline that makes the overestimate bound
+    * spec-checkable at test scale (at 100 TB you keep only the
+    * sketch). Hash family = the portable md5 recipe ("cms:row:tok"),
+    * so the whole sketch is bit-identical in DuckDB. Build is
+    * tf-reduced BEFORE the cell scatter (the x42 trick): the update
+    * stream is one row per (distinct token, row), not per occurrence,
+    * and the counter aggregation is map-side combinable. The
+    * estimate probe joins the counter table back by broadcast —
+    * rows·width cells by construction, so the broadcast is
+    * structurally justified (the x43 class). Output: the top-k
+    * exact-frequency tokens with exact and estimated counts;
+    * est >= exact always (CMS never undercounts). */
+  def cmsHeavyHitters(docs: DataFrame, k: Int = 20, rows: Int = 4,
+                      width: Int = 1024): DataFrame = {
+    val (plan, tc) = cmsHeavyHittersPlan(docs, k, rows, width)
+    try plan.localCheckpoint(true) finally tc.unpersist()
+  }
+
+  /** Lazy pipeline + the cached token-count table (it feeds BOTH the
+    * counter build and the top-k probe — one corpus aggregation, the
+    * x06 convention), for plan dumps and cache-managing callers. */
+  private[graft] def cmsHeavyHittersPlan(
+      docs: DataFrame, k: Int = 20, rows: Int = 4,
+      width: Int = 1024): (DataFrame, DataFrame) = {
+    require(rows >= 1 && width >= 1)
+    def cell(r: Int, t: Column) =
+      pmod(portableHash(concat(lit(s"cms:$r:"), t)), lit(width.toLong))
+    def cellsOf(src: DataFrame) = src.select(col("tok"), col("n_exact"),
+      posexplode(array((0 until rows).map(r => cell(r, col("tok"))): _*))
+        .as(Seq("r", "c")))
+    val tc = docs
+      .select(explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).cast(LongType).as("n_exact"))
+      .persist()
+    val counters = cellsOf(tc).groupBy("r", "c")
+      .agg(sum("n_exact").cast(LongType).as("cnt"))
+    val top = tc.orderBy(desc("n_exact"), col("tok")).limit(k)
+    val est = cellsOf(top).join(broadcast(counters), Seq("r", "c"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min("cnt").cast(LongType).as("n_est"))
+      .select(col("tok").as("token"), col("n_exact"), col("n_est"))
+      .orderBy(desc("n_exact"), col("token"))
+    (est, tc)
+  }
+
   /** Hashing-trick linear quality scorer — the fastText-style
     * model-scoring pass of a filtering pipeline (Joulin et al. 2016,
     * "Bag of Tricks"): each word bigram hashes into one of `buckets`

@@ -1111,6 +1111,39 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size < vecs.size, "planted clusters must produce real drops")
   }
 
+  // --- CMS heavy hitters (x54) ------------------------------------------------
+
+  test("cmsHeavyHitters: collisions inflate but min-over-rows never undercounts (JVM recompute)") {
+    val ss = spark
+    import ss.implicits._
+    // 8 distinct tokens into 4-cell rows: collisions guaranteed by
+    // pigeonhole (each row fits at most 3 singleton cells, so min-over-2-rows
+    // must inflate at least two tokens)
+    val texts = Seq("aa bb cc dd aa bb aa", "ee ff gg hh ee ff ee gg", "aa ee aa")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val (nRows, width) = (2, 4)
+    val exact = texts.flatMap(_.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val counters = scala.collection.mutable.Map[(Int, Long), Long]().withDefaultValue(0L)
+    for ((t, n) <- exact; r <- 0 until nRows)
+      counters((r, h32(s"cms:$r:$t") % width)) += n
+    val expected = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(8).map {
+      case (t, n) =>
+        (t, n, (0 until nRows).map(r => counters((r, h32(s"cms:$r:$t") % width))).min)
+    }
+    val got = TrainingOps.cmsHeavyHitters(docs, k = 8, rows = nRows, width = width)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.forall { case (_, ex, est) => est >= ex }, "CMS must never undercount")
+    assert(got.exists { case (_, ex, est) => est > ex },
+      "8 tokens in 4-cell rows must inflate at least one estimate")
+  }
+
   // --- hashed quality scorer (x53) --------------------------------------------
 
   test("hashedQualityScore matches a JVM recompute; short and blank docs score 0") {
