@@ -116,7 +116,8 @@ object Bench {
       "x51_mixture_sample",
       // round-4 tail: semantic (embedding-cluster) dedup, hashed
       // linear quality scorer
-      "x52_semantic_dedup", "x53_hashed_quality", "x54_cms_heavy_hitters")
+      "x52_semantic_dedup", "x53_hashed_quality", "x54_cms_heavy_hitters",
+      "x55_payload_resize")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

@@ -473,6 +473,10 @@ object SparkEntry {
     // the portable md5 hash family, top-20 exact vs estimated counts
     "x54_cms_heavy_hitters" -> ((s, dir) =>
       TrainingOps.cmsHeavyHitters(s.read.parquet(t(dir, "documents")))),
+    // multimodal resize plumbing: nearest-neighbor byte re-sampling of
+    // the opaque binary payload to 16 samples (decode-stub convention)
+    "x55_payload_resize" -> ((s, dir) =>
+      TrainingOps.payloadResize(s, s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1713,7 +1717,16 @@ object SparkEntry {
          |SELECT probe.tok AS token, probe.n_exact, CAST(min(counters.cnt) AS BIGINT) AS n_est
          |FROM probe JOIN counters USING (r, c)
          |GROUP BY probe.tok, probe.n_exact
-         |ORDER BY n_exact DESC, token""".stripMargin)
+         |ORDER BY n_exact DESC, token""".stripMargin,
+    // x55: the same integer nearest-neighbor index math over the ASCII
+    // payload (documents are pure ASCII, so byte == character code)
+    "x55_payload_resize" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        | CASE WHEN length(text) = 0 THEN ''
+        |      ELSE array_to_string([ascii(text[((i*(length(text)-1))//15)+1])::VARCHAR
+        |                            FOR i IN range(0,16)], ',')
+        | END AS resized
+        |FROM documents ORDER BY doc_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

@@ -870,6 +870,38 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Multimodal resize plumbing — the missing member of the
+    * decode (x05) / frame-sample (x35) family: nearest-neighbor
+    * re-sampling of the opaque binary payload to a fixed `target`
+    * length, the 1-D analog of image thumbnailing (index math =
+    * floor(i·(n-1)/(target-1)), pure integers, so the result is
+    * bit-portable to the oracle; a real system swaps the byte
+    * sampler for a codec-aware scaler — the multimodal-decode stub
+    * convention). The Spark-side shape is the honest one: typed
+    * Dataset of (id, binary), partition-batched transformation, no
+    * driver collect; at 100 TB this is a map-only pass whose output
+    * column is `target` bytes/row regardless of payload size. */
+  def payloadResize(spark: SparkSession, docs: DataFrame,
+                    target: Int = 16): DataFrame = {
+    import spark.implicits._
+    require(target >= 2, s"target=$target must be >= 2")
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val resized =
+            if (n == 0) ""
+            else (0 until target)
+              .map(i => (bytes((i * (n - 1)) / (target - 1)) & 0xff).toString)
+              .mkString(",")
+          (id, n.toLong, resized)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "resized")
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination — the canonical overlap check before
     * training: flag every document sharing at least one word 13-gram
     * with a held-out benchmark set (the n-gram-collision test used to

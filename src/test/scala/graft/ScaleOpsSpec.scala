@@ -1144,6 +1144,34 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "8 tokens in 4-cell rows must inflate at least one estimate")
   }
 
+  // --- payload resize (x55) ---------------------------------------------------
+
+  test("payloadResize: nearest-neighbor byte sampling, BYTE semantics, empty-safe") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (2L, "x"), // 1 byte -> 16 copies of it
+      (3L, ""), // empty payload -> empty string, no crash
+      (4L, "é!")) // 'é' is TWO UTF-8 bytes: the op samples BYTES, not chars
+      .toDF("doc_id", "text")
+    val got = TrainingOps.payloadResize(spark, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    def expect(text: String): (Long, String) = {
+      val b = text.getBytes("UTF-8")
+      val n = b.length
+      val s = if (n == 0) ""
+        else (0 until 16).map(i => (b((i * (n - 1)) / 15) & 0xff).toString).mkString(",")
+      (n.toLong, s)
+    }
+    for ((id, text) <- Seq(1L -> "abcdefghijklmnopqrstuvwxyz0123456789",
+        2L -> "x", 3L -> "", 4L -> "é!"))
+      assert(got(id) == expect(text), s"doc $id: got ${got(id)}")
+    assert(got(2L)._2 == Seq.fill(16)("120").mkString(","))
+    assert(got(4L)._1 == 3L, "é! must count 3 bytes, not 2 chars")
+    assert(got(1L)._2.split(",").length == 16, "output is always 16 samples")
+  }
+
   // --- hashed quality scorer (x53) --------------------------------------------
 
   test("hashedQualityScore matches a JVM recompute; short and blank docs score 0") {
