@@ -893,7 +893,9 @@ object TrainingOps {
           val resized =
             if (n == 0) ""
             else (0 until target)
-              .map(i => (bytes((i * (n - 1)) / (target - 1)) & 0xff).toString)
+              // Long index math: i*(n-1) overflows Int past ~143 MB
+              // payloads, exactly the blob sizes this op targets
+              .map(i => (bytes(((i.toLong * (n - 1)) / (target - 1)).toInt) & 0xff).toString)
               .mkString(",")
           (id, n.toLong, resized)
         }
@@ -1918,17 +1920,26 @@ object TrainingOps {
       s"clusterBits=$clusterBits out of range")
     graft.GraftFunctions.register(embeddings.sparkSession)
     val mask = (1L << clusterBits) - 1
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (s, v) => s + v)
+    // norm computed ONCE per row in the cached projection (the
+    // gridCandidatePairs convention): the O(k^2) pair stage then pays a
+    // single dot product, not dot + 2 norms; sqrt(dot(x,x)) is the same
+    // double either way, so the rounded sim matches the oracle
+    // bit-for-bit
     val clustered = embeddings.select(
       col("vec_id"),
       asDouble(col("embedding")).as("v"),
       call_function("embed_lsh_sig48", col("embedding"))
         .bitwiseAND(lit(mask)).as("cluster"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .persist()
     val dropped = clustered
       .join(clustered.select(col("cluster"), col("vec_id").as("earlier_id"),
-          col("v").as("ev")), Seq("cluster"))
+          col("v").as("ev"), col("nrm").as("enrm")), Seq("cluster"))
       .filter(col("earlier_id") < col("vec_id"))
-      .filter(round(cosine(col("v"), col("ev")), 3) >= threshold)
+      .filter(round(dot(col("v"), col("ev")) / (col("nrm") * col("enrm")), 3)
+        >= threshold)
       .select("vec_id").distinct()
     val kept = clustered.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))

@@ -29,6 +29,14 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  /** JVM recompute of the portable 32-bit md5-prefix hash (mirrors
+    * TrainingOps.portableHash) — shared by the x51/x53/x54 specs. */
+  private def h32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
   // --- grid epsilon-join: exact, not approximate ---------------------------
 
   test("cosineNearDupPairs (grid equi-join) equals brute-force all-pairs") {
@@ -1063,11 +1071,6 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(101L).getAs[Long]("cut") == 4294967296L)
     // independent recomputation of the kept set: same md5 rule and the
     // same IEEE double expression, evaluated OUTSIDE Spark
-    def h32(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 8), 16)
-    }
     val rate = math.min(1.0, (0.5 * 6100L * (1.0 / 2)) / 6000.0)
     val cut = math.floor(rate * 4294967296.0).toLong
     val expectedBig = (1L to 60L).filter(id => h32(s"mix:$id") < cut).toSet
@@ -1121,11 +1124,6 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // must inflate at least two tokens)
     val texts = Seq("aa bb cc dd aa bb aa", "ee ff gg hh ee ff ee gg", "aa ee aa")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-    def h32(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 8), 16)
-    }
     val (nRows, width) = (2, 4)
     val exact = texts.flatMap(_.split(" ")).groupBy(identity)
       .view.mapValues(_.size.toLong).toMap
@@ -1183,11 +1181,6 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, ""), // blank -> split yields [""], still 1 token
       (4L, "Mixed   CASE  tokens here")) // \s+ collapse + lowering
       .toDF("doc_id", "text")
-    def h32(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 8), 16)
-    }
     def score(text: String): (Long, Long) = {
       val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1)
       if (toks.length < 2) (math.max(toks.length - 1, 0).toLong, 0L)
