@@ -1972,6 +1972,28 @@ object TrainingOps {
     try plan.localCheckpoint(true) finally tc.unpersist()
   }
 
+  /** The CMS counter table built from an occurrence-level token frame
+    * (column `tok`) — cell scatter into ONE aggregation. This is the
+    * STREAMING form of the x54 sketch: Structured Streaming forbids
+    * chained aggregations, so the batch op's tf-reduced build (token
+    * counts first, then the scatter) can't stream — this per-occurrence
+    * scatter can, unchanged, in complete/update mode, folding
+    * micro-batches into the same (r, c) cells. A spec pins
+    * stream == batch == the JVM-recomputed counter table; the batch
+    * op keeps the tf-reduced build because at rest the token-count
+    * table is the cheaper input (sum(n) per distinct token ==
+    * count(*) per occurrence). */
+  def cmsCountersFromTokens(toks: DataFrame, rows: Int = 4,
+                            width: Int = 1024): DataFrame = {
+    require(rows >= 1 && width >= 1)
+    def cell(r: Int, t: Column) =
+      pmod(portableHash(concat(lit(s"cms:$r:"), t)), lit(width.toLong))
+    toks.filter(col("tok") =!= "")
+      .select(posexplode(array((0 until rows).map(r => cell(r, col("tok"))): _*))
+        .as(Seq("r", "c")))
+      .groupBy("r", "c").agg(count(lit(1)).cast(LongType).as("cnt"))
+  }
+
   /** Lazy pipeline + the cached token-count table (it feeds BOTH the
     * counter build and the top-k probe — one corpus aggregation, the
     * x06 convention), for plan dumps and cache-managing callers. */

@@ -288,4 +288,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.keySet == Set("rconv-000", "rconv-001", "rconv-002"))
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
+
+  test("streaming CMS counters fold across micro-batches and equal the batch build") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // token 'aa' appears in BOTH micro-batches: its cells must fold
+    val b1 = Seq("aa", "bb", "cc", "aa", "dd")
+    val b2 = Seq("aa", "ee", "bb", "", "ff")
+    val (nRows, width) = (2, 4)
+    val input = MemoryStream[String]
+    val q = graft.ops.TrainingOps
+      .cmsCountersFromTokens(input.toDS().toDF("tok"), nRows, width)
+      .writeStream.format("memory").queryName("cms_counters_out")
+      .outputMode(OutputMode.Complete).start()
+    input.addData(b1)
+    q.processAllAvailable()
+    input.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM cms_counters_out")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.TrainingOps
+      .cmsCountersFromTokens((b1 ++ b2).toDF("tok"), nRows, width)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // JVM ground truth: same portable hash, empty token dropped
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val expected = scala.collection.mutable.Map[(Int, Long), Long]().withDefaultValue(0L)
+    for (t <- (b1 ++ b2).filter(_.nonEmpty); r <- 0 until nRows)
+      expected((r, h32(s"cms:$r:$t") % width)) += 1L
+    assert(streamed == expected.toMap, s"stream $streamed vs jvm $expected")
+    assert(batch == expected.toMap, s"batch $batch vs jvm $expected")
+  }
 }
