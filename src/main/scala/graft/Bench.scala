@@ -117,7 +117,11 @@ object Bench {
       // round-4 tail: semantic (embedding-cluster) dedup, hashed
       // linear quality scorer
       "x52_semantic_dedup", "x53_hashed_quality", "x54_cms_heavy_hitters",
-      "x55_payload_resize")
+      "x55_payload_resize",
+      // round-4 extension: corpus line dedup, entropy/TTR quality,
+      // content-defined chunking, edit-distance near-dup
+      "x56_paragraph_dedup", "x57_text_entropy", "x58_cdc_chunks",
+      "x59_edit_neardup")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

@@ -477,6 +477,29 @@ object SparkEntry {
     // the opaque binary payload to 16 samples (decode-stub convention)
     "x55_payload_resize" -> ((s, dir) =>
       TrainingOps.payloadResize(s, s.read.parquet(t(dir, "documents")))),
+    // corpus-wide line-level exact dedup (CCNet shape): the FIRST
+    // occurrence by (doc_id, pos) of each normalized line survives,
+    // every later repeat drops. Same injected footer traffic as x32 so
+    // cross-doc repeats are guaranteed on the synthetic corpus.
+    "x56_paragraph_dedup" -> ((s, dir) =>
+      TrainingOps.paragraphDedup(multilineDocs(s, dir).select(
+        col("doc_id"),
+        concat(col("text"), lit("\nsubscribe to our newsletter today"),
+          when(col("doc_id") % 2 === 0,
+            lit("\nall rights reserved worldwide")).otherwise(lit("")))
+          .as("text")))),
+    // char-entropy + type-token-ratio quality signals (one tagged
+    // Generate, map-side tf reduction, ln rounded to 4)
+    "x57_text_entropy" -> ((s, dir) =>
+      TrainingOps.textEntropy(s.read.parquet(t(dir, "documents")))),
+    // content-defined chunking: hash-boundary word chunks (mod 8),
+    // map-only per-row fencepost slices
+    "x58_cdc_chunks" -> ((s, dir) =>
+      TrainingOps.cdcChunks(s.read.parquet(t(dir, "documents")))),
+    // edit-distance near-dup pairs: x13's minhash band candidates
+    // verified by exact Levenshtein similarity (char-level regime)
+    "x59_edit_neardup" -> ((s, dir) =>
+      TrainingOps.editNearDupPairs(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -957,6 +980,32 @@ object SparkEntry {
        |  round(len(list_intersect(a.sh, b.sh)) * 1.0
        |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
        | FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)""".stripMargin
+  }
+
+  /** Edit-distance near-dup oracle — the x13 band-candidate CTEs with a
+    * Levenshtein verify instead of the exact-Jaccard verify. */
+  private def editNearDupOracleSql: String = {
+    val mh = (0 until 8).map { i =>
+      val a = TrainingOps.JacA(i); val b = TrainingOps.JacB(i); val p = TrainingOps.JacP
+      s"list_min([($shingleHashSql * $a + $b) % $p FOR sh IN list_distinct(${shinglesKSql("n", 9)})]) AS m$i"
+    }.mkString(",\n  ")
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS n FROM documents),
+       |sigs AS (SELECT doc_id, $mh FROM nrm),
+       |bands AS (
+       | SELECT doc_id, 0 AS band, m0 || ':' || m1 || ':' || m2 || ':' || m3 AS key FROM sigs
+       | UNION ALL
+       | SELECT doc_id, 1 AS band, m4 || ':' || m5 || ':' || m6 || ':' || m7 AS key FROM sigs),
+       |cands AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |scored AS (
+       | SELECT id_a, id_b,
+       |  CAST(levenshtein(a.n, b.n) AS BIGINT) AS lev,
+       |  round(1.0 - levenshtein(a.n, b.n) * 1.0 / greatest(length(a.n), length(b.n)), 4) AS sim
+       | FROM cands JOIN nrm a ON a.doc_id = id_a JOIN nrm b ON b.doc_id = id_b)
+       |SELECT id_a, id_b, lev, sim FROM scored WHERE sim >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Word-13-gram decontamination oracle — shared by x19 (broadcast
@@ -1726,7 +1775,79 @@ object SparkEntry {
         |      ELSE array_to_string([ascii(text[((i*(length(text)-1))//15)+1])::VARCHAR
         |                            FOR i IN range(0,16)], ',')
         | END AS resized
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // x56: first-occurrence line dedup — the oracle ranks each line key
+    // by (doc_id, pos) with a window (fine at sf scale; the Spark side
+    // uses the skew-tolerant min-struct aggregate for the same pick)
+    "x56_paragraph_dedup" ->
+      s"""WITH $mlDocsCte,
+         |docs2 AS (SELECT doc_id,
+         |  text || chr(10) || 'subscribe to our newsletter today' ||
+         |  CASE WHEN doc_id % 2 = 0
+         |       THEN chr(10) || 'all rights reserved worldwide' ELSE '' END AS text
+         | FROM mldocs),
+         |lines AS (SELECT doc_id,
+         |  unnest([{'pos': i-1, 'line': ls[i]} FOR i IN range(1, len(ls)+1)],
+         |         recursive := true)
+         | FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2)),
+         |nb AS (SELECT doc_id, pos, line,
+         |       md5(trim(regexp_replace(lower(line), '\\s+', ' ', 'g'))) AS lkey
+         |       FROM lines WHERE trim(line) <> ''),
+         |fl AS (SELECT doc_id, pos, line,
+         |       (row_number() OVER (PARTITION BY lkey ORDER BY doc_id, pos) = 1) AS keep
+         |       FROM nb)
+         |SELECT doc_id,
+         | CAST(count(*) AS BIGINT) AS n_lines,
+         | CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         | COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS dedup_text
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x57: same H = ln(N) - sum(c*ln c)/N decomposition, ln + round(4)
+    "x57_text_entropy" ->
+      """WITH ch AS (
+        | SELECT doc_id, unnest([text[i] FOR i IN range(1, length(text)+1)]) AS v
+        | FROM documents),
+        |cc AS (SELECT doc_id, v, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |cs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+        |       CAST(count(*) AS BIGINT) AS n_char_types,
+        |       sum(cnt * ln(cnt)) AS clogc FROM cc GROUP BY 1),
+        |wd AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')) AS w
+        | FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS cnt FROM wd GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types FROM wc GROUP BY 1)
+        |SELECT cs.doc_id AS doc_id, n_chars, n_char_types,
+        | round(ln(n_chars) - clogc / n_chars, 4) AS char_entropy,
+        | CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+        | CAST(COALESCE(n_types, 0) AS BIGINT) AS n_types,
+        | CASE WHEN COALESCE(n_tokens, 0) > 0
+        |      THEN round(n_types * 1.0 / n_tokens, 4) END AS ttr
+        |FROM cs LEFT JOIN ws ON cs.doc_id = ws.doc_id ORDER BY doc_id""".stripMargin,
+    // x58: same fencepost construction — [0] ++ boundary positions ++ [n],
+    // chunk k = toks[bs[k]+1 .. bs[k+1]] (DuckDB list slice is 1-based
+    // inclusive; Spark slice(start, len) mirrors it)
+    "x58_cdc_chunks" ->
+      s"""WITH base AS (
+         | SELECT doc_id, list_filter(string_split($normSql, ' '), w -> w <> '') AS toks
+         | FROM documents),
+         |nz AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+         |fp AS (SELECT doc_id, toks, n,
+         |  [0] || [i FOR i IN range(1, n+1)
+         |          IF i < n AND CAST(('0x' || substr(md5('cdc:' || toks[i]), 1, 8)) AS BIGINT) % 8 = 0]
+         |      || [n] AS bs
+         | FROM nz),
+         |ch AS (SELECT doc_id,
+         |  unnest([{'chunk_idx': k,
+         |           'chunk_text': array_to_string(toks[bs[k+1]+1 : bs[k+2]], ' '),
+         |           'n_words': bs[k+2] - bs[k+1]}
+         |          FOR k IN range(0, len(bs)-1)], recursive := true)
+         | FROM fp)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+         | CAST(n_words AS BIGINT) AS n_words
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    // x59: x13's band candidates, verified by native levenshtein (both
+    // engines ship it; ASCII corpus keeps the unit semantics identical)
+    "x59_edit_neardup" -> editNearDupOracleSql)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

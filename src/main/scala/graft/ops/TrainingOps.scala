@@ -2057,4 +2057,190 @@ object TrainingOps {
       .withColumn("label", (col("w_sum") > 0).cast(LongType))
       .orderBy("doc_id")
   }
+
+  /** Corpus-wide paragraph/line-level exact dedup (the CCNet shape,
+    * Wenzek et al. 2019): normalized line fingerprint → keep only the
+    * FIRST occurrence corpus-wide (ordered by doc_id, then line
+    * position), drop every later repeat, reassemble documents from the
+    * surviving lines. The granularity between whole-doc exact dedup
+    * (q09) and repeated-SPAN dedup (x48): it kills shared headers,
+    * footers and copy-pasted paragraphs without touching unique prose.
+    *
+    * Scale shape: first-occurrence selection is a
+    * min(struct(doc_id, pos)) AGGREGATE on the line fingerprint —
+    * map-side partial aggregation makes it skew-tolerant on
+    * mega-frequent lines (a row_number window over a hot key would
+    * funnel that key's every occurrence through one partition; the
+    * min-struct combiner collapses them locally) — then one equi-join
+    * back and one doc_id reassembly shuffle. Blank lines are dropped
+    * with the same trim predicate as deboilerplate (x32). The exploded
+    * line table is persisted once (it feeds both the aggregate and the
+    * join-back; at 100 TB this boundary is a written line table). */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val (plan, lines) = paragraphDedupPlan(docs)
+    try plan.localCheckpoint(true) finally lines.unpersist()
+  }
+  private[graft] def paragraphDedupPlan(docs: DataFrame): (DataFrame, DataFrame) = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+      .withColumn("lkey", md5(normText(col("line"))))
+      .persist()
+    val first = lines.groupBy("lkey")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val out = lines.join(first, "lkey")
+      .withColumn("keep",
+        col("f.doc_id") === col("doc_id") && col("f.pos") === col("pos"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(
+          transform(
+            filter(
+              sort_array(collect_list(struct(col("pos").as("pos"),
+                col("line").as("line"), col("keep").as("keep")))),
+              s => s.getField("keep")),
+            s => s.getField("line")),
+          "\n").as("dedup_text"))
+      .orderBy("doc_id")
+    (out, lines)
+  }
+
+  /** Character-entropy and type-token-ratio quality signals — the
+    * information-theoretic complement to the ratio heuristics (q16),
+    * repetition stats (x26) and unigram-LM NLL (x42): low char entropy
+    * flags degenerate/low-diversity payloads (`aaaa…`, base64 blobs
+    * score HIGH — each catches what the other misses), low TTR flags
+    * word-level repetition. ONE tagged Generate carries characters and
+    * word tokens together (the x26 single-scan shape), and the
+    * immediate (doc_id, kind, v) aggregation collapses the char
+    * explosion to ≤ |alphabet| rows per doc MAP-SIDE before the
+    * shuffle. Entropy uses the shuffle-friendly decomposition
+    * H = ln(N) - Σ cᵢ·ln(cᵢ) / N so one pass over the count rows
+    * suffices; natural log rounded to 4 decimals (the x21/x42
+    * float-portability convention). Docs with zero [a-z] tokens get a
+    * NULL ttr rather than a divide-by-zero (ANSI mode throws). */
+  def textEntropy(docs: DataFrame): DataFrame = {
+    val chars = filter(split(col("text"), ""), c => c =!= "")
+    val words = filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "")
+    val units = docs.select(col("doc_id"),
+      explode(concat(
+        transform(chars, c => struct(lit("c").as("kind"), c.as("v"))),
+        transform(words, w => struct(lit("w").as("kind"), w.as("v"))))).as("u"))
+      .select(col("doc_id"), col("u.kind").as("kind"), col("u.v").as("v"))
+    val counts = units.groupBy("doc_id", "kind", "v")
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy("doc_id").agg(
+      sum(when(col("kind") === "c", col("cnt")).otherwise(0L)).as("n_chars"),
+      sum(when(col("kind") === "c", 1L).otherwise(0L)).as("n_char_types"),
+      sum(when(col("kind") === "c",
+        col("cnt").cast(DoubleType) * log(col("cnt").cast(DoubleType)))
+        .otherwise(0.0)).as("clogc"),
+      sum(when(col("kind") === "w", col("cnt")).otherwise(0L)).as("n_tokens"),
+      sum(when(col("kind") === "w", 1L).otherwise(0L)).as("n_types"))
+      .select(col("doc_id"), col("n_chars"), col("n_char_types"),
+        round(log(col("n_chars").cast(DoubleType))
+          - col("clogc") / col("n_chars"), 4).as("char_entropy"),
+        col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0,
+          round(col("n_types").cast(DoubleType) / col("n_tokens"), 4))
+          .as("ttr"))
+      .orderBy("doc_id")
+  }
+
+  /** Content-defined chunking — the dedup-friendly long-document
+    * splitter (the rolling-boundary idea behind LBFS/rsync-style
+    * chunkers, at word granularity): a chunk boundary falls after
+    * every word whose portable hash ≡ 0 (mod `modulus`), so boundaries
+    * are LOCAL properties of the text — an insertion or deletion
+    * re-chunks only its neighborhood, where x50's fixed windows re-key
+    * every later chunk. Expected chunk length = `modulus` words; the
+    * last word never closes a chunk early (the tail runs to n).
+    * Entirely per-row (HOF boundary scan + fencepost slices, no
+    * explode until the final chunk Generate): zero data shuffles —
+    * at 100 TB a map-only pass. */
+  def cdcChunks(docs: DataFrame, modulus: Int = 8): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      filter(split(normText(col("text")), " "), w => w =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val n = size(col("toks"))
+    // 1-based positions whose word closes a chunk. The i < n predicate
+    // also disarms the sequence(1, 0)-is-descending landmine for empty
+    // docs (filtered above anyway, belt and braces).
+    val bIdx = filter(sequence(lit(1), n), i =>
+      i < n && pmod(portableHash(concat(lit("cdc:"), element_at(col("toks"), i))),
+        lit(modulus.toLong)) === 0)
+    val bs = concat(array(lit(0)), bIdx, array(n))
+    val chunks = transform(sequence(lit(0), size(bs) - 2), k =>
+      struct(k.cast(LongType).as("chunk_idx"),
+        array_join(slice(col("toks"), element_at(bs, k + 1) + 1,
+          element_at(bs, k + 2) - element_at(bs, k + 1)), " ").as("chunk_text"),
+        (element_at(bs, k + 2) - element_at(bs, k + 1)).cast(LongType).as("n_words")))
+    base.select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_text").as("chunk_text"), col("c.n_words").as("n_words"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Edit-distance near-dup pairs — the character-level dedup regime
+    * completing the family (token-set Jaccard x13, bit-fingerprint
+    * simhash x06, embedding cosine q14/x34): candidates from the SAME
+    * 9-gram minhash band keys as x13, verified by exact Levenshtein
+    * similarity 1 - lev/max(len) — which catches same-length
+    * in-place edits that shingle sets dilute and survives word
+    * reordering penalties honestly (unlike Jaccard, which ignores
+    * order entirely). O(len²) DP runs ONLY on co-bucketed candidate
+    * pairs, never all-pairs; the signature/text table is persisted
+    * once (band build + both verify probes) and released after
+    * materialization, the x13 cache convention. */
+  def editNearDupPairs(docs: DataFrame, threshold: Double = 0.8,
+                       k: Int = 9): DataFrame = {
+    val (plan, base) = editNearDupPairsPlan(docs, threshold, k)
+    try plan.localCheckpoint(true) finally base.unpersist()
+  }
+  private[graft] def editNearDupPairsPlan(
+      docs: DataFrame, threshold: Double = 0.8, k: Int = 9): (DataFrame, DataFrame) = {
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val nrm = normText(col("text"))
+    val sh = transform(
+      sequence(lit(1), greatest(length(nrm) - (k - 1), lit(1))),
+      i => substring(nrm, i.cast("int"), lit(k)))
+    // one materialization boundary after the md5 hash array (the x13
+    // CollapseProject lesson: interpreted HOF lambdas re-inline into
+    // every minhash column and join branch without it)
+    val base = spread.select(col("doc_id"), nrm.as("norm"),
+      transform(array_distinct(sh),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)).as("hl"))
+      .persist()
+    val mhCols = JacA.indices.map { i =>
+      array_min(transform(col("hl"),
+        x => pmod(x * JacA(i) + JacB(i), lit(JacP)))).as(s"m$i")
+    }
+    val sigs = base.select((col("doc_id") +: mhCols): _*)
+    val bands = sigs.select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band"),
+          concat_ws(":", col("m0"), col("m1"), col("m2"), col("m3")).as("key")),
+        struct(lit(1).as("band"),
+          concat_ws(":", col("m4"), col("m5"), col("m6"), col("m7")).as("key"))
+      )).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val cands = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val texts = base.select(col("doc_id"), col("norm"))
+    val verified = cands
+      .join(texts.select(col("doc_id").as("id_a"), col("norm").as("t_a")), Seq("id_a"))
+      .join(texts.select(col("doc_id").as("id_b"), col("norm").as("t_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("t_a"), col("t_b")).cast(LongType).as("lev"),
+        round(lit(1.0) - levenshtein(col("t_a"), col("t_b")).cast(DoubleType)
+          / greatest(length(col("t_a")), length(col("t_b"))).cast(DoubleType), 4)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("id_a", "id_b")
+    (verified, base)
+  }
 }

@@ -155,6 +155,52 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"persistent RDDs grow across invocations: before=$before mid=$mid after=$after")
   }
 
+  test("x56: first-occurrence pick is a min-struct aggregate, not a hot-key window") {
+    // a row_number window over the line fingerprint would funnel every
+    // occurrence of a mega-frequent line (a boilerplate footer at corpus
+    // scale) through ONE partition; the aggregate gets map-side combine
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (df, lines) = graft.ops.TrainingOps.paragraphDedupPlan(docs)
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("Window"),
+        s"first-occurrence selection must not use a window:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"the exploded line table must persist once and feed both the " +
+          s"aggregate and the join-back:\n$p")
+      assert(p.contains("partial_min") || p.contains("partial_"),
+        s"expected map-side partial aggregation on the line key:\n$p")
+    } finally lines.unpersist()
+  }
+
+  test("x59: edit-distance pipeline reads the cached text table, equi-joins only") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (df, base) = graft.ops.TrainingOps.editNearDupPairsPlan(docs)
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.contains("InMemoryTableScan"),
+        s"expected the persisted norm/signature table behind bands + verify:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"the O(len²) DP must run only on band-bucketed candidates:\n$p")
+    } finally base.unpersist()
+  }
+
+  test("x56/x59: caches are released after the result materializes") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def cachedRdds(): Int = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedRdds()
+    graft.ops.TrainingOps.paragraphDedup(docs).count()
+    graft.ops.TrainingOps.editNearDupPairs(docs).count()
+    val mid = cachedRdds()
+    graft.ops.TrainingOps.paragraphDedup(docs).count()
+    graft.ops.TrainingOps.editNearDupPairs(docs).count()
+    System.gc()
+    Thread.sleep(500)
+    val after = cachedRdds()
+    assert(after <= mid + 2,
+      s"persistent RDDs grow across invocations: before=$before mid=$mid after=$after")
+  }
+
   test("x19: decontamination broadcasts the benchmark gram set, never shuffles the corpus grams") {
     val p = plan("x19_decontaminate")
     assert(p.contains("BroadcastHashJoin"),

@@ -1202,4 +1202,165 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(got(2L) == ((0L, 0L, 0L)) && got(3L) == ((0L, 0L, 0L)))
   }
+
+  // --- paragraph dedup (x56) ----------------------------------------------
+
+  test("paragraphDedup keeps only the corpus-wide first occurrence of each line") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "alpha one\nshared footer\nbeta two"),
+      // case/whitespace-insensitive repeats of doc-1 lines
+      (2L, "gamma three\nShared   FOOTER\nalpha one"),
+      // blanks never counted; the sole real line is a repeat
+      (3L, "  \nshared footer\n\n"),
+      (4L, "delta four"),
+      // within-doc repeat: pos 0 is the first occurrence, pos 1 drops
+      (5L, "echo\necho")).toDF("doc_id", "text")
+    val got = TrainingOps.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 0L, "alpha one\nshared footer\nbeta two")))
+    assert(got(2L) == ((3L, 2L, "gamma three")),
+      "normalized repeats from an earlier doc must drop")
+    assert(got(3L) == ((1L, 1L, "")), "all-repeat doc reassembles to empty")
+    assert(got(4L) == ((1L, 0L, "delta four")))
+    assert(got(5L) == ((2L, 1L, "echo")), "within-doc later repeat drops")
+  }
+
+  // --- char entropy / TTR (x57) -------------------------------------------
+
+  test("textEntropy matches a JVM recompute; zero-token docs get NULL ttr") {
+    val ss = spark
+    import ss.implicits._
+    val corpus = Seq(
+      1L -> "aaaa", // zero entropy, single type
+      2L -> "abab cd!",
+      3L -> "123 456", // no [a-z] tokens -> NULL ttr, zero counts
+      4L -> "The quick brown fox the QUICK")
+    val docs = corpus.toDF("doc_id", "text")
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TrainingOps.textEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((id, text) <- corpus) {
+      val chars = text.toCharArray
+      val cc = chars.groupBy(identity).map(_._2.length.toDouble)
+      val n = chars.length.toDouble
+      val h = round4(math.log(n) - cc.map(c => c * math.log(c)).sum / n)
+      val toks = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      val r = got(id)
+      assert(r.getLong(1) == chars.length.toLong, s"doc $id n_chars")
+      assert(r.getLong(2) == cc.size.toLong, s"doc $id n_char_types")
+      assert(r.getDouble(3) == h, s"doc $id entropy: got ${r.getDouble(3)} want $h")
+      assert(r.getLong(4) == toks.length.toLong, s"doc $id n_tokens")
+      assert(r.getLong(5) == toks.distinct.length.toLong, s"doc $id n_types")
+      if (toks.isEmpty) assert(r.isNullAt(6), s"doc $id ttr must be NULL")
+      else assert(r.getDouble(6) == round4(toks.distinct.length.toDouble / toks.length),
+        s"doc $id ttr")
+    }
+    assert(got(1L).getDouble(3) == 0.0, "degenerate aaaa has zero entropy")
+  }
+
+  // --- content-defined chunking (x58) ---------------------------------------
+
+  test("cdcChunks: boundaries match the JVM hash rule, chunks cover every token") {
+    val ss = spark
+    import ss.implicits._
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    // same-length in-place edit at token index 45 (0-based)
+    val edited = (1 to 60).map(i => if (i == 46) "EDITED" else s"word$i").mkString(" ")
+    val corpus = Seq(
+      1L -> "The quick brown fox jumps over the lazy dog again and again today",
+      2L -> "one", // single token: one chunk, no boundary scan
+      3L -> "   ", // whitespace-only: zero tokens -> no rows at all
+      4L -> base,
+      5L -> edited)
+    val docs = corpus.toDF("doc_id", "text")
+    def expect(text: String): Seq[(Long, String, Long)] = {
+      val toks = text.toLowerCase.trim.replaceAll("\\s+", " ")
+        .split(" ").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) Nil
+      else {
+        val bs = 0L +: (1 until toks.length)
+          .filter(i => h32(s"cdc:${toks(i - 1)}") % 8 == 0).map(_.toLong) :+ toks.length.toLong
+        bs.sliding(2).zipWithIndex.map { case (Seq(a, b), k) =>
+          (k.toLong, toks.slice(a.toInt, b.toInt).mkString(" "), b - a)
+        }.toSeq
+      }
+    }
+    val got = TrainingOps.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    for ((id, text) <- corpus if id != 3L)
+      assert(got(id) == expect(text), s"doc $id chunks diverge from the hash rule")
+    assert(!got.contains(3L), "zero-token doc must emit no chunks")
+    // coverage: chunks rejoined reproduce the normalized token stream
+    for ((id, text) <- corpus if got.contains(id)) {
+      val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
+      assert(got(id).map(_._2).mkString(" ") == norm, s"doc $id coverage")
+    }
+    // LOCALITY (the property fixed windows lack): chunks lying entirely
+    // before the edited token are identical between base and edited docs
+    val offs = got(4L).scanLeft(0L)(_ + _._3)
+    val stable = got(4L).indices.filter(k => offs(k + 1) <= 45L)
+    assert(stable.nonEmpty, "test needs at least one pre-edit chunk")
+    for (k <- stable)
+      assert(got(4L)(k) == got(5L)(k), s"pre-edit chunk $k must be unaffected")
+  }
+
+  // --- edit-distance near-dup (x59) -----------------------------------------
+
+  test("editNearDupPairs verifies band candidates with exact Levenshtein") {
+    val ss = spark
+    import ss.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val edited = base.updated(200, 'x') // same length, one substitution
+    val other = (1 to 60).map(i => s"item$i").mkString(" ")
+    val extended = other + " extra tail"
+    val corpus = Seq((1L, base), (2L, edited), (3L, other), (4L, extended),
+      (5L, "totally unrelated short text"))
+    val docs = corpus.toDF("doc_id", "text")
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // JVM recompute of the full pipeline: distinct 9-gram shingles →
+    // 8 minhashes → 2×4 band keys → co-banded candidates → exact lev ≥ 0.8
+    def minhashes(text: String): Array[Long] = {
+      val n = text.toLowerCase.trim.replaceAll("\\s+", " ")
+      val sh = (1 to math.max(n.length - 8, 1))
+        .map(i => n.substring(i - 1, math.min(i - 1 + 9, n.length))).distinct
+      TrainingOps.JacA.indices.map { i =>
+        sh.map(s => (h32(s) * TrainingOps.JacA(i) + TrainingOps.JacB(i)) % TrainingOps.JacP).min
+      }.toArray
+    }
+    val sigs = corpus.map { case (id, t) => id -> minhashes(t) }.toMap
+    def coBanded(a: Long, b: Long): Boolean =
+      sigs(a).take(4).sameElements(sigs(b).take(4)) ||
+        sigs(a).drop(4).sameElements(sigs(b).drop(4))
+    val norm = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.trim.replaceAll("\\s+", " ") }.toMap
+    val expected = (for {
+      (a, _) <- corpus.iterator; (b, _) <- corpus.iterator
+      if a < b && coBanded(a, b)
+      l = lev(norm(a), norm(b))
+      s = round4(1.0 - l.toDouble / math.max(norm(a).length, norm(b).length))
+      if s >= 0.8
+    } yield (a, b) -> ((l.toLong, s))).toMap
+    val got = TrainingOps.editNearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the planted in-place same-length edit — the regime Jaccard dilutes,
+    // Levenshtein nails — MUST survive banding and verify at lev 1
+    assert(lev(base, edited) == 1)
+    assert(got.get((1L, 2L)).contains((1L, round4(1.0 - 1.0 / base.length))),
+      s"planted substitution pair missing or mis-scored: ${got.get((1L, 2L))}")
+    // unrelated doc pairs never co-band in this corpus
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
 }
