@@ -121,7 +121,11 @@ object Bench {
       // round-4 extension: corpus line dedup, entropy/TTR quality,
       // content-defined chunking, edit-distance near-dup
       "x56_paragraph_dedup", "x57_text_entropy", "x58_cdc_chunks",
-      "x59_edit_neardup")
+      "x59_edit_neardup",
+      // round-4 extension: inverted index, bigram LM, DSIR weights,
+      // dup-token fraction
+      "x60_inverted_index", "x61_bigram_logprob", "x62_dsir_weights",
+      "x63_dup_token_stats")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

@@ -500,6 +500,22 @@ object SparkEntry {
     // verified by exact Levenshtein similarity (char-level regime)
     "x59_edit_neardup" -> ((s, dir) =>
       TrainingOps.editNearDupPairs(s.read.parquet(t(dir, "documents")))),
+    // sharded inverted index: term → df/cf + doc_id-sorted "doc:tf"
+    // posting list per doc_id-shard (the hot-stopword split)
+    "x60_inverted_index" -> ((s, dir) =>
+      TrainingOps.invertedIndex(s.read.parquet(t(dir, "documents")))),
+    // add-k smoothed bigram-LM NLL (KenLM-filter shape, one order above
+    // x42; tf-reduced joins, AQE-chosen strategies, in-plan V)
+    "x61_bigram_logprob" -> ((s, dir) =>
+      TrainingOps.bigramLogprob(s.read.parquet(t(dir, "documents")))),
+    // DSIR hashed importance weights: target-vs-source bucket log-ratio,
+    // tf-weighted mean per doc (target = doc_id % 11 == 0 subset)
+    "x62_dsir_weights" -> ((s, dir) =>
+      TrainingOps.dsirWeights(s.read.parquet(t(dir, "documents")))),
+    // duplicate-token fraction per doc (Lee et al. reporting metric
+    // over the x48 spans; integer basis points)
+    "x63_dup_token_stats" -> ((s, dir) =>
+      TrainingOps.dupTokenStats(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -981,6 +997,36 @@ object SparkEntry {
        |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
        | FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)""".stripMargin
   }
+
+  /** The x48 repeated-span CTE chain up to the merged `spans` table —
+    * shared verbatim by the x48 oracle and the x63 duplicate-token
+    * stats (which aggregates over the same spans; one truth). */
+  private def repeatedSpanCtes: String =
+    s"""tok AS (
+       | SELECT doc_id, regexp_split_to_array($normSql, ' ') AS toks FROM documents),
+       |win AS (
+       | SELECT doc_id, unnest([{'s': i,
+       |   'g': CAST(('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 15)) AS BIGINT)}
+       |   FOR i IN range(1, greatest(len(toks)-12, 0)+1)], recursive:=true)
+       | FROM tok WHERE len(toks) >= 13),
+       |ranked AS (
+       | SELECT doc_id, s, row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn
+       | FROM win),
+       |dup AS (SELECT doc_id, s AS w_start, s + 12 AS w_end FROM ranked WHERE rn > 1),
+       |flagged AS (
+       | SELECT doc_id, w_start, w_end,
+       |  CASE WHEN max(w_end) OVER (PARTITION BY doc_id ORDER BY w_start
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= w_start - 1
+       |       THEN 0 ELSE 1 END AS brk
+       | FROM dup),
+       |isl AS (
+       | SELECT doc_id, w_start, w_end,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY w_start ROWS UNBOUNDED PRECEDING) AS island
+       | FROM flagged),
+       |spans AS (
+       | SELECT doc_id, CAST(min(w_start) AS BIGINT) AS span_start,
+       |  CAST(max(w_end) AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_windows
+       | FROM isl GROUP BY doc_id, island)""".stripMargin
 
   /** Edit-distance near-dup oracle — the x13 band-candidate CTEs with a
     * Levenshtein verify instead of the exact-Jaccard verify. */
@@ -1617,30 +1663,9 @@ object SparkEntry {
     // x48: identical 60-bit gram fingerprints (x19's recipe), the same
     // first-occurrence rank, and the same islands merge in SQL windows
     "x48_repeated_spans" ->
-      s"""WITH tok AS (
-         | SELECT doc_id, regexp_split_to_array($normSql, ' ') AS toks FROM documents),
-         |win AS (
-         | SELECT doc_id, unnest([{'s': i,
-         |   'g': CAST(('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 15)) AS BIGINT)}
-         |   FOR i IN range(1, greatest(len(toks)-12, 0)+1)], recursive:=true)
-         | FROM tok WHERE len(toks) >= 13),
-         |ranked AS (
-         | SELECT doc_id, s, row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn
-         | FROM win),
-         |dup AS (SELECT doc_id, s AS w_start, s + 12 AS w_end FROM ranked WHERE rn > 1),
-         |flagged AS (
-         | SELECT doc_id, w_start, w_end,
-         |  CASE WHEN max(w_end) OVER (PARTITION BY doc_id ORDER BY w_start
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= w_start - 1
-         |       THEN 0 ELSE 1 END AS brk
-         | FROM dup),
-         |isl AS (
-         | SELECT doc_id, w_start, w_end,
-         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY w_start ROWS UNBOUNDED PRECEDING) AS island
-         | FROM flagged)
-         |SELECT doc_id, CAST(min(w_start) AS BIGINT) AS span_start,
-         | CAST(max(w_end) AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_windows
-         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+      s"""WITH $repeatedSpanCtes
+         |SELECT doc_id, span_start, span_end, n_windows
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
     // x49: x14's recursive-CTE component labels (per member, not
     // aggregated) joined to the q16 quality columns; rank + keep flag
     "x49_canonical_docs" ->
@@ -1847,7 +1872,91 @@ object SparkEntry {
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     // x59: x13's band candidates, verified by native levenshtein (both
     // engines ship it; ASCII corpus keeps the unit semantics identical)
-    "x59_edit_neardup" -> editNearDupOracleSql)
+    "x59_edit_neardup" -> editNearDupOracleSql,
+    // x60: same (term, doc) tf reduction; postings rendered as "doc:tf"
+    // strings ordered by doc_id so no nested type crosses the compare
+    "x60_inverted_index" ->
+      """WITH words AS (
+        | SELECT doc_id, w AS term FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |  FROM documents) WHERE w <> ''),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM words GROUP BY 1, 2)
+        |SELECT term, CAST(doc_id % 4 AS BIGINT) AS shard,
+        | CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+        | string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term, shard ORDER BY term, shard""".stripMargin,
+    // x61: same add-0.5 decomposition — range(1, len) is end-exclusive,
+    // matching Spark's sequence(1, n-1) inclusive
+    "x61_bigram_logprob" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '') AS toks
+        | FROM documents),
+        |bg AS (
+        | SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bg
+        | FROM tok WHERE len(toks) >= 2),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+        |c2 AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        |        FROM c2 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+        |      FROM (SELECT unnest(toks) AS w FROM tok)),
+        |scored AS (
+        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(-(sum(tf * ln((c2 + 0.5) / (c1 + v * 0.5))) / sum(tf)), 4) AS nll
+        | FROM tf JOIN c2 USING (bg)
+        |  JOIN ctx ON split_part(bg, ' ', 1) = ctx.w1 CROSS JOIN v
+        | GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, s.nll
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // x62: same hashed-bigram buckets, add-1 smoothing over the bucket
+    // space, totals as 1-row CTEs
+    "x62_dsir_weights" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, regexp_split_to_array($normSql, ' ') AS toks FROM documents),
+         |feats AS (
+         | SELECT doc_id,
+         |  unnest([CAST(('0x' || substr(md5('ds:' || toks[i] || ' ' || toks[i+1]), 1, 8)) AS BIGINT) % 4096
+         |          FOR i IN range(1, len(toks))]) AS b
+         | FROM tok WHERE len(toks) >= 2),
+         |tfb AS (SELECT doc_id, b, count(*) AS tf FROM feats GROUP BY 1, 2),
+         |src AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cs FROM tfb GROUP BY 1),
+         |tgt AS (SELECT b, CAST(sum(tf) AS BIGINT) AS ct FROM tfb
+         |        WHERE doc_id % 11 = 0 GROUP BY 1),
+         |ts AS (SELECT CAST(sum(cs) AS DOUBLE) AS ts FROM src),
+         |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS tt FROM tgt),
+         |ratio AS (
+         | SELECT s.b AS b,
+         |  ln((coalesce(ct, 0) + 1.0) / (tt + 4096)) - ln((cs + 1.0) / (ts + 4096)) AS lr
+         | FROM src s LEFT JOIN tgt USING (b) CROSS JOIN ts CROSS JOIN tt),
+         |scored AS (
+         | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+         |  round(sum(tf * lr) / sum(tf), 4) AS log_iw
+         | FROM tfb JOIN ratio USING (b) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats, s.log_iw,
+         | CAST(CASE WHEN s.log_iw > 0 THEN 1 ELSE 0 END AS BIGINT) AS target_like
+         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // x63: the x48 span CTEs verbatim, aggregated to per-doc stats;
+    // integer basis points (// is DuckDB integral division ≡ Spark DIV)
+    "x63_dup_token_stats" ->
+      s"""WITH $repeatedSpanCtes,
+         |agg AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+         | FROM spans GROUP BY doc_id),
+         |cnt AS (
+         | SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array($normSql, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+         | FROM documents)
+         |SELECT c.doc_id, n_tokens,
+         | CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+         | CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         | CAST(CASE WHEN n_tokens > 0 THEN coalesce(dup_tokens, 0) * 10000 // n_tokens
+         |      ELSE 0 END AS BIGINT) AS dup_bp
+         |FROM cnt c LEFT JOIN agg a ON c.doc_id = a.doc_id
+         |ORDER BY c.doc_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

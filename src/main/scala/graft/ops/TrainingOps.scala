@@ -2243,4 +2243,144 @@ object TrainingOps {
       .orderBy("id_a", "id_b")
     (verified, base)
   }
+
+  /** Sharded inverted-index build — the retrieval-side artifact a
+    * training-data pipeline emits for corpus search and decontamination
+    * lookups: term → document-frequency, collection-frequency and a
+    * doc_id-sorted posting list. Postings are SHARDED by doc_id
+    * (`pmod(doc_id, shards)`), which is the 100 TB shape twice over:
+    * a stopword's corpus-wide posting list cannot fit one row (or one
+    * reducer) — the shard key splits exactly that hot key — and real
+    * index serving wants per-shard segments anyway. Scale: one
+    * (term, doc) partial+final count, then one (term, shard)
+    * aggregation whose per-row output is bounded by shard size, never
+    * corpus size. Postings render as "doc:tf" strings so the oracle
+    * compare crosses engines without nested-type coercion. */
+  def invertedIndex(docs: DataFrame, shards: Int = 4): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = words.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .groupBy("term", "shard")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("cf"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+          p => concat(p.getField("doc_id").cast("string"), lit(":"),
+            p.getField("tf").cast("string"))), " ").as("postings"))
+      .orderBy("term", "shard")
+  }
+
+  /** Add-k smoothed bigram-LM negative log-likelihood per document —
+    * the next LM order above unigramLogprob (x42), i.e. the shape of a
+    * KenLM-style perplexity filter with the smoothing that makes
+    * unseen transitions finite: P(w2|w1) = (c(w1 w2)+k)/(c(w1·)+k·V),
+    * NLL = −mean ln P over the doc's bigrams. Every count joins on the
+    * per-doc term-frequency table, NEVER on raw bigram rows (the x42
+    * skew lesson: a stopword-headed bigram joins once per containing
+    * doc, not once per occurrence); the context-count and vocabulary
+    * tables are corpus-bounded aggregates whose join strategy is left
+    * to AQE (the x21 broadcast lesson), and V rides the in-plan 1-row
+    * broadcast (no count() action). ln + round(4) portability
+    * convention; docs with <2 tokens get NULL nll through the left
+    * join, not a crash or a silent drop. */
+  def bigramLogprob(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val toksCol = filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "")
+    val d = docs.select(col("doc_id"), toksCol.as("toks"))
+    val n = size(col("toks"))
+    val bi = d.filter(n >= 2).select(col("doc_id"),
+      explode(transform(sequence(lit(1), n - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("bg"))
+    val tf = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy("bg").agg(sum("tf").as("c2"))
+    val ctx = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c2").as("c1"))
+    val vocab = d.select(explode(col("toks")).as("w"))
+      .agg(countDistinct("w").cast(DoubleType).as("v"))
+    val scored = tf.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c2, "bg").join(ctx, "w1").crossJoin(broadcast(vocab))
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_bigrams"),
+        round(-(sum(col("tf") * log((col("c2") + k) / (col("c1") + col("v") * k)))
+          / sum(col("tf"))), 4).as("nll"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every corpus document by how target-like its hashed-bigram
+    * feature distribution is. Features are the x53 hashing trick
+    * (bigram → md5 bucket, `buckets` of them); the target distribution
+    * comes from a deterministic in-corpus subset (doc_id ≡ 0 mod 11 —
+    * the stand-in for "the benchmark/domain sample", same convention
+    * as x19's synthesized benchmark); both distributions get add-1
+    * smoothing over the bucket space so unseen buckets stay finite.
+    * Per-doc score = tf-weighted MEAN of ln p_target(b) − ln p_source(b)
+    * (mean, not sum, so the score is length-invariant), ln + round(4).
+    * Scale shape: per-doc bucket tf first (explode collapses map-side
+    * to ≤ buckets rows per doc), the log-ratio table is ≤ `buckets`
+    * rows — structurally tiny, AQE broadcasts it — and the totals ride
+    * in-plan 1-row broadcasts. Zero-feature docs arrive through the
+    * left join with NULL score, decided but not fabricated. */
+  def dsirWeights(docs: DataFrame, buckets: Int = 4096): DataFrame = {
+    val d = docs.select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+    val n = size(col("toks"))
+    val feats = d.filter(n >= 2).select(col("doc_id"),
+      explode(transform(sequence(lit(1), n - 1),
+        i => pmod(portableHash(concat(lit("ds:"), element_at(col("toks"), i),
+          lit(" "), element_at(col("toks"), i + 1))), lit(buckets.toLong)))).as("b"))
+    val tf = feats.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+    val src = tf.groupBy("b").agg(sum("tf").as("cs"))
+    val tgt = tf.filter(pmod(col("doc_id"), lit(11L)) === 0)
+      .groupBy("b").agg(sum("tf").as("ct"))
+    val totS = src.agg(sum("cs").cast(DoubleType).as("ts"))
+    val totT = tgt.agg(coalesce(sum("ct"), lit(0L)).cast(DoubleType).as("tt"))
+    val ratio = src.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totS)).crossJoin(broadcast(totT))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + buckets))
+          - log((col("cs") + 1.0) / (col("ts") + buckets))).as("lr"))
+    val scored = tf.join(ratio, "b")
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_feats"),
+        round(sum(col("tf") * col("lr")) / sum("tf"), 4).as("log_iw"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("log_iw"),
+        when(col("log_iw") > 0, 1L).otherwise(0L).as("target_like"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document duplicate-token fraction — the reporting metric of
+    * Lee et al. 2022 over the x48 repeated-span detector: what share
+    * of each document's tokens sits inside a corpus-repeated span.
+    * The span detector's output is doc-granular and tiny relative to
+    * the corpus, so this is one left join + one aggregate on top of
+    * x48; the fraction ships as INTEGER basis points (x*10000 DIV n,
+    * the x26 convention) so no float crosses the engine boundary.
+    * Every doc gets a row — span-free docs (including those under the
+    * 13-token window minimum) report 0, auditable not absent. */
+  def dupTokenStats(docs: DataFrame, n: Int = 13): DataFrame = {
+    val spans = repeatedSpans(docs, n)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    val counted = docs.select(col("doc_id"),
+      size(filter(split(normText(col("text")), " "), w => w =!= ""))
+        .cast(LongType).as("n_tokens"))
+    counted.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_bp",
+        when(col("n_tokens") > 0, expr("dup_tokens * 10000 DIV n_tokens"))
+          .otherwise(0L))
+      .orderBy("doc_id")
+  }
 }

@@ -1363,4 +1363,137 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unrelated doc pairs never co-band in this corpus
     assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  // --- inverted index (x60) --------------------------------------------------
+
+  test("invertedIndex shards postings by doc_id and sorts them within shard") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (4L, "apple! 123 apple"), // same shard as doc 0 (mod 4); non-letters split
+      (5L, "cherry")).toDF("doc_id", "text")
+    val got = TrainingOps.invertedIndex(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // apple: docs 0 (tf 2) and 4 (tf 2) share shard 0 -> one row, sorted postings
+    assert(got(("apple", 0L)) == ((2L, 4L, "0:2 4:2")))
+    // banana spans shards 0 and 1 -> one row per shard
+    assert(got(("banana", 0L)) == ((1L, 1L, "0:1")))
+    assert(got(("banana", 1L)) == ((1L, 1L, "1:1")))
+    assert(got(("cherry", 1L)) == ((2L, 2L, "1:1 5:1")),
+      "docs 1 and 5 collide on shard 1 (mod 4), postings doc-sorted")
+    assert(!got.keySet.exists(_._1 == "123"), "numeric tokens never index")
+    assert(got.size == 4)
+  }
+
+  // --- bigram LM NLL (x61) ---------------------------------------------------
+
+  test("bigramLogprob matches a JVM recompute of the add-k smoothed NLL") {
+    val ss = spark
+    import ss.implicits._
+    val corpus = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat ran",
+      3L -> "one", // single token: 0 bigrams, NULL nll
+      4L -> "the cat sat") // every bigram seen in doc 1 -> lowest NLL
+    val docs = corpus.toDF("doc_id", "text")
+    def toks(t: String) = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    val allBigrams = corpus.flatMap { case (_, t) => toks(t).sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
+    val c2 = allBigrams.groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val c1 = c2.groupBy(_._1.split(" ")(0)).map { case (w, m) => w -> m.values.sum }
+    val v = corpus.flatMap { case (_, t) => toks(t) }.distinct.size.toDouble
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TrainingOps.bigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((id, t) <- corpus) {
+      val bgs = toks(t).sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val r = got(id)
+      assert(r.getLong(1) == bgs.size.toLong, s"doc $id n_bigrams")
+      if (bgs.isEmpty) assert(r.isNullAt(2), s"doc $id nll must be NULL")
+      else {
+        val nll = round4(-bgs.map { g =>
+          math.log((c2(g) + 0.5) / (c1(g.split(" ")(0)) + v * 0.5))
+        }.sum / bgs.size)
+        assert(r.getDouble(2) == nll, s"doc $id nll: got ${r.getDouble(2)} want $nll")
+      }
+    }
+    // all-seen-transitions doc scores strictly better than the novel one
+    assert(got(4L).getDouble(2) < got(2L).getDouble(2),
+      "doc of common transitions must have lower NLL than the doc with a novel bigram")
+  }
+
+  // --- DSIR importance weights (x62) ------------------------------------------
+
+  test("dsirWeights matches a JVM recompute; target-subset docs score positive") {
+    val ss = spark
+    import ss.implicits._
+    // doc 0 and 11 are the target subset (doc_id % 11 == 0); 0/11/22 share
+    // the target-ish phrasing, 5/7 are the off-target mass
+    val corpus = Seq(
+      0L -> "alpha beta gamma alpha beta",
+      11L -> "alpha beta gamma delta",
+      22L -> "alpha beta gamma",
+      5L -> "noise words everywhere noise words",
+      7L -> "noise words everywhere",
+      9L -> "x") // 1 token: zero features -> NULL score
+    val docs = corpus.toDF("doc_id", "text")
+    val B = 4096L
+    def buckets(t: String): Seq[Long] = {
+      val w = t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
+      w.sliding(2).filter(_.size == 2).map(p => h32(s"ds:${p(0)} ${p(1)}") % B).toSeq
+    }
+    val perDoc = corpus.map { case (id, t) => id -> buckets(t) }.toMap
+    val srcCnt = perDoc.values.flatten.groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val tgtCnt = perDoc.filter(_._1 % 11 == 0).values.flatten
+      .groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val ts = srcCnt.values.sum.toDouble
+    val tt = tgtCnt.values.sum.toDouble
+    def lr(b: Long): Double =
+      math.log((tgtCnt.getOrElse(b, 0L) + 1.0) / (tt + B)) -
+        math.log((srcCnt(b) + 1.0) / (ts + B))
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TrainingOps.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((id, _) <- corpus) {
+      val bs = perDoc(id)
+      val r = got(id)
+      assert(r.getLong(1) == bs.size.toLong, s"doc $id n_feats")
+      if (bs.isEmpty) { assert(r.isNullAt(2)); assert(r.getLong(3) == 0L) }
+      else {
+        val w = round4(bs.map(lr).sum / bs.size)
+        assert(r.getDouble(2) == w, s"doc $id log_iw: got ${r.getDouble(2)} want $w")
+        assert(r.getLong(3) == (if (w > 0) 1L else 0L), s"doc $id target_like")
+      }
+    }
+    // the target-distribution docs must read as target-like, the noise not
+    for (id <- Seq(0L, 11L, 22L)) assert(got(id).getLong(3) == 1L, s"doc $id")
+    for (id <- Seq(5L, 7L)) assert(got(id).getLong(3) == 0L, s"doc $id")
+  }
+
+  // --- duplicate-token stats (x63) ---------------------------------------------
+
+  test("dupTokenStats reports the planted copied-run token share in basis points") {
+    val ss = spark
+    import ss.implicits._
+    val run = (1 to 16).map(i => s"copy$i") // 16-token run shared by docs 1 and 2
+    val a = ((1 to 10).map(i => s"a$i") ++ run ++ (1 to 4).map(i => s"z$i")).mkString(" ")
+    val b = ((1 to 5).map(i => s"b$i") ++ run ++ (1 to 9).map(i => s"y$i")).mkString(" ")
+    val corpus = Seq(1L -> a, 2L -> b,
+      3L -> "too short for any window", // < 13 tokens: zero spans
+      4L -> (1 to 20).map(i => s"u$i").mkString(" ")) // unique: zero spans
+    val docs = corpus.toDF("doc_id", "text")
+    val got = TrainingOps.dupTokenStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1 is the first occurrence corpus-wide: no dup windows
+    assert(got(1L) == ((30L, 0L, 0L, 0L)))
+    // doc 2 repeats the 16-token run: 16-12=4 dup windows merge into ONE
+    // span of exactly the 16 copied tokens; 16/30 tokens = 5333 bp
+    assert(got(2L) == ((30L, 1L, 16L, 16L * 10000 / 30)))
+    assert(got(3L) == ((5L, 0L, 0L, 0L)))
+    assert(got(4L) == ((20L, 0L, 0L, 0L)))
+  }
 }
