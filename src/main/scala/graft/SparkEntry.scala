@@ -516,6 +516,18 @@ object SparkEntry {
     // over the x48 spans; integer basis points)
     "x63_dup_token_stats" -> ((s, dir) =>
       TrainingOps.dupTokenStats(s.read.parquet(t(dir, "documents")))),
+    // cross-corpus near-dup dedup: flag corpus docs near-dup with the
+    // reference split (doc_id % 13 == 0 — the deterministic stand-in
+    // for "the already-kept data / eval set")
+    "x64_cross_neardup" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      TrainingOps.crossNearDup(
+        d.filter(pmod(col("doc_id"), lit(13L)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(13L)) === 0))
+    }),
+    // top-16 corpus vocabulary + per-doc OOV rate in basis points
+    "x65_vocab_oov" -> ((s, dir) =>
+      TrainingOps.vocabOov(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -996,6 +1008,26 @@ object SparkEntry {
        |  round(len(list_intersect(a.sh, b.sh)) * 1.0
        |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
        | FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)""".stripMargin
+  }
+
+  /** The x13 9-gram minhash signature/band/shingle CTEs instantiated
+    * over an arbitrary source CTE with a name suffix — the x64
+    * cross-corpus oracle stamps it twice (corpus + reference). */
+  private def mhBandCtes(src: String, sfx: String): String = {
+    val mh = (0 until 8).map { i =>
+      val a = TrainingOps.JacA(i); val b = TrainingOps.JacB(i); val p = TrainingOps.JacP
+      s"list_min([($shingleHashSql * $a + $b) % $p FOR sh IN list_distinct(${shinglesKSql("n", 9)})]) AS m$i"
+    }.mkString(",\n  ")
+    s"""sigs$sfx AS (
+       | SELECT doc_id, $mh
+       | FROM (SELECT doc_id, $normSql AS n FROM $src)),
+       |bands$sfx AS (
+       | SELECT doc_id, 0 AS band, m0 || ':' || m1 || ':' || m2 || ':' || m3 AS key FROM sigs$sfx
+       | UNION ALL
+       | SELECT doc_id, 1 AS band, m4 || ':' || m5 || ':' || m6 || ':' || m7 AS key FROM sigs$sfx),
+       |sh$sfx AS (
+       | SELECT doc_id, list_distinct(${shinglesKSql("n", 9)}) AS sh
+       | FROM (SELECT doc_id, $normSql AS n FROM $src))""".stripMargin
   }
 
   /** The x48 repeated-span CTE chain up to the merged `spans` table —
@@ -1956,7 +1988,52 @@ object SparkEntry {
          | CAST(CASE WHEN n_tokens > 0 THEN coalesce(dup_tokens, 0) * 10000 // n_tokens
          |      ELSE 0 END AS BIGINT) AS dup_bp
          |FROM cnt c LEFT JOIN agg a ON c.doc_id = a.doc_id
-         |ORDER BY c.doc_id""".stripMargin)
+         |ORDER BY c.doc_id""".stripMargin,
+    // x64: the x13 sig/band recipe instantiated twice (corpus + ref
+    // split views), candidates from the CROSS band join only
+    "x64_cross_neardup" ->
+      s"""WITH corp AS (SELECT * FROM documents WHERE doc_id % 13 <> 0),
+         |refd AS (SELECT * FROM documents WHERE doc_id % 13 = 0),
+         |${mhBandCtes("corp", "_c")},
+         |${mhBandCtes("refd", "_r")},
+         |cands AS (
+         | SELECT DISTINCT a.doc_id AS c_id, b.doc_id AS r_id
+         | FROM bands_c a JOIN bands_r b ON a.band = b.band AND a.key = b.key),
+         |jac AS (
+         | SELECT c_id, r_id,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0
+         |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         | FROM cands JOIN sh_c a ON a.doc_id = c_id JOIN sh_r b ON b.doc_id = r_id),
+         |hits AS (
+         | SELECT c_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  max(jaccard) AS best_jaccard, CAST(min(r_id) AS BIGINT) AS best_match
+         | FROM jac WHERE jaccard >= 0.8 GROUP BY 1)
+         |SELECT c.doc_id, CAST(coalesce(h.n_matches, 0) AS BIGINT) AS n_matches,
+         | h.best_match, h.best_jaccard,
+         | CAST(CASE WHEN h.n_matches IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+    // x65: top-16 by (cnt desc, term asc) — a total order, so the LIMIT
+    // is deterministic; OOV mass in integer basis points
+    "x65_vocab_oov" ->
+      """WITH words AS (
+        | SELECT doc_id, w AS term FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |  FROM documents) WHERE w <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |vocab AS (
+        | SELECT term FROM (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1)
+        | ORDER BY cnt DESC, term ASC LIMIT 16),
+        |perdoc AS (
+        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov
+        | FROM tf LEFT JOIN vocab v ON tf.term = v.term GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+        | CAST(CASE WHEN coalesce(n_tokens, 0) > 0
+        |      THEN coalesce(n_oov, 0) * 10000 // n_tokens ELSE 0 END AS BIGINT) AS oov_bp
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

@@ -119,43 +119,55 @@ object TrainingOps {
 
   /** The lazy plan + its cached signature table, for plan assertions
     * (PlanQualitySpec) and for callers that manage the cache themselves. */
-  private[graft] def jaccardNearDupPairsPlan(
-      docs: DataFrame, threshold: Double = 0.8, k: Int = 9): (DataFrame, DataFrame) = {
-    // Spread the input BEFORE the shingle/md5 stage: a small documents
-    // table is a single parquet split, so without this the whole 10M-md5
-    // signature computation runs in ONE task (measured 16 s of x13's
-    // 18 s at sf0.1; the round-2 bench hid it behind the warm run's
-    // leaked cache). At cluster scale the scan has natural parallelism
-    // and this is the same shuffle writing the signature table costs.
+  /** The persisted (doc_id, sh, hl) shingle/hash table every minhash
+    * near-dup pipeline starts from (x13 self-join, x59 edit verify,
+    * x64 cross-corpus). Spreads the input BEFORE the shingle/md5 stage:
+    * a small documents table is a single parquet split, so without this
+    * the whole 10M-md5 signature computation runs in ONE task (measured
+    * 16 s of x13's 18 s at sf0.1; the round-2 bench hid it behind the
+    * warm run's leaked cache). At cluster scale the scan has natural
+    * parallelism and this is the same shuffle writing the signature
+    * table costs. The persist is the ONE materialization boundary after
+    * the md5 hash array: without it CollapseProject inlines the
+    * shingle+md5 lambda chain into all 8 minhash columns AND both join
+    * branches AND the verify join — ~30 interpreted-lambda
+    * recomputations per doc (measured 209 s at sf0.1 vs ~2 s with the
+    * boundary; higher-order functions are not codegen'd). At 100 TB
+    * this boundary is a written signature table. Caller unpersists. */
+  private def shingleBase(docs: DataFrame, k: Int): DataFrame = {
     val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val n = normText(col("text"))
     val sh = transform(
       sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
       i => substring(n, i.cast("int"), lit(k)))
-    // ONE materialization boundary after the md5 hash array: without it
-    // CollapseProject inlines the shingle+md5 lambda chain into all 8
-    // minhash columns AND both self-join branches AND the verify join —
-    // ~30 interpreted-lambda recomputations per doc (measured 209 s at
-    // sf0.1 vs ~2 s with the boundary; higher-order functions are not
-    // codegen'd). At 100 TB this boundary is a written signature table.
-    val base = spread.select(col("doc_id"), array_distinct(sh).as("sh"))
+    spread.select(col("doc_id"), array_distinct(sh).as("sh"))
       .select(col("doc_id"), col("sh"),
         transform(col("sh"),
           s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)).as("hl"))
       .persist()
+  }
+
+  /** 2×4-row minhash band keys over a [[shingleBase]] table. */
+  private def bandKeys(base: DataFrame): DataFrame = {
     val mhCols = JacA.indices.map { i =>
       array_min(transform(col("hl"),
         x => pmod(x * JacA(i) + JacB(i), lit(JacP)))).as(s"m$i")
     }
-    val sigs = base.select((col("doc_id") +: mhCols): _*)
-    val bands = sigs.select(col("doc_id"),
-      explode(array(
-        struct(lit(0).as("band"),
-          concat_ws(":", col("m0"), col("m1"), col("m2"), col("m3")).as("key")),
-        struct(lit(1).as("band"),
-          concat_ws(":", col("m4"), col("m5"), col("m6"), col("m7")).as("key"))
-      )).as("b"))
+    base.select((col("doc_id") +: mhCols): _*)
+      .select(col("doc_id"),
+        explode(array(
+          struct(lit(0).as("band"),
+            concat_ws(":", col("m0"), col("m1"), col("m2"), col("m3")).as("key")),
+          struct(lit(1).as("band"),
+            concat_ws(":", col("m4"), col("m5"), col("m6"), col("m7")).as("key"))
+        )).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
+  private[graft] def jaccardNearDupPairsPlan(
+      docs: DataFrame, threshold: Double = 0.8, k: Int = 9): (DataFrame, DataFrame) = {
+    val base = shingleBase(docs, k)
+    val bands = bandKeys(base)
     val cands = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
       .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
@@ -2380,6 +2392,84 @@ object TrainingOps {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
       .withColumn("dup_bp",
         when(col("n_tokens") > 0, expr("dup_tokens * 10000 DIV n_tokens"))
+          .otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-corpus near-dup dedup — the TWO-corpus regime completing the
+    * minhash family: drop (flag) every corpus document that is near-dup
+    * (9-gram Jaccard ≥ threshold) with ANY document of a reference
+    * corpus. This is how a pipeline dedups a new crawl against the
+    * already-kept data, or training data against an eval set at
+    * near-dup (not just exact-13-gram, x19) granularity. Same
+    * signature/band machinery as x13 but the band join is
+    * corpus×reference — never corpus×corpus — so candidate cardinality
+    * is bounded by the reference side's bucket occupancy. Every corpus
+    * doc gets a decided row (match count, best match, keep flag); both
+    * persisted signature tables are released after materialization. */
+  def crossNearDup(corpus: DataFrame, ref: DataFrame,
+                   threshold: Double = 0.8, k: Int = 9): DataFrame = {
+    val (plan, caches) = crossNearDupPlan(corpus, ref, threshold, k)
+    try plan.localCheckpoint(true) finally caches.foreach(_.unpersist())
+  }
+  private[graft] def crossNearDupPlan(
+      corpus: DataFrame, ref: DataFrame, threshold: Double = 0.8,
+      k: Int = 9): (DataFrame, Seq[DataFrame]) = {
+    val cb = shingleBase(corpus, k)
+    val rb = shingleBase(ref, k)
+    val cands = bandKeys(cb).select(col("band"), col("key"), col("doc_id").as("c_id"))
+      .join(bandKeys(rb).select(col("band"), col("key"), col("doc_id").as("r_id")),
+        Seq("band", "key"))
+      .select("c_id", "r_id").distinct()
+    val verified = cands
+      .join(cb.select(col("doc_id").as("c_id"), col("sh").as("sh_c")), Seq("c_id"))
+      .join(rb.select(col("doc_id").as("r_id"), col("sh").as("sh_r")), Seq("r_id"))
+      .select(col("c_id"), col("r_id"),
+        round(size(array_intersect(col("sh_c"), col("sh_r"))).cast(DoubleType)
+          / size(array_union(col("sh_c"), col("sh_r"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val hits = verified.groupBy(col("c_id").as("doc_id")).agg(
+      count(lit(1)).as("n_matches"),
+      max("jaccard").as("best_jaccard"),
+      min("r_id").as("best_match"))
+    val out = corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_match"), col("best_jaccard"),
+        when(col("n_matches").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+    (out, Seq(cb, rb))
+  }
+
+  /** Top-V vocabulary truncation + per-doc out-of-vocabulary rate — the
+    * tokenizer-prep statistic: the corpus keeps its `v` highest-tf
+    * terms (ties broken lexicographically — a total, deterministic
+    * order) and every document reports how much of its token mass
+    * falls outside that vocabulary, in integer basis points. Scale
+    * shape: (term, doc) tf reduction → one corpus term-count aggregate
+    * → top-V via TakeOrderedAndProject (V is small by definition) →
+    * the per-doc OOV join is LEFT against the V-row table, structurally
+    * broadcast. Zero-token docs report 0/0, decided not absent. */
+  def vocabOov(docs: DataFrame, v: Int = 16): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(v)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    val perDoc = tf.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_bp",
+        when(col("n_tokens") > 0, expr("n_oov * 10000 DIV n_tokens"))
           .otherwise(0L))
       .orderBy("doc_id")
   }

@@ -1474,6 +1474,88 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (id <- Seq(5L, 7L)) assert(got(id).getLong(3) == 0L, s"doc $id")
   }
 
+  // --- cross-corpus near-dup (x64) ----------------------------------------------
+
+  test("crossNearDup flags corpus docs near-dup with the reference set only") {
+    val ss = spark
+    import ss.implicits._
+    val refText = (1 to 60).map(i => s"ref$i").mkString(" ")
+    val twin = (1 to 30).map(i => s"twin$i").mkString(" ")
+    val ref = Seq((100L, refText), (101L, "reference only words here nothing else"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, refText), // exact copy of ref 100: jaccard 1.0, dropped
+      (2L, refText.updated(150, 'x')), // near-dup in-place edit
+      (3L, twin), (4L, twin), // WITHIN-corpus exact dups: must both survive
+      (5L, "completely unrelated corpus text")).toDF("doc_id", "text")
+    // JVM recompute: shingle sets, minhash bands, cross candidates, jaccard
+    def shingles(t: String): Set[String] = {
+      val n = t.toLowerCase.trim.replaceAll("\\s+", " ")
+      (1 to math.max(n.length - 8, 1))
+        .map(i => n.substring(i - 1, math.min(i - 1 + 9, n.length))).toSet
+    }
+    def sig(t: String): Array[Long] = {
+      val sh = shingles(t)
+      TrainingOps.JacA.indices.map { i =>
+        sh.map(s => (h32(s) * TrainingOps.JacA(i) + TrainingOps.JacB(i)) % TrainingOps.JacP).min
+      }.toArray
+    }
+    def coBanded(a: Array[Long], b: Array[Long]): Boolean =
+      a.take(4).sameElements(b.take(4)) || a.drop(4).sameElements(b.drop(4))
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val refRows = Seq(100L -> refText, 101L -> "reference only words here nothing else")
+    val corpRows = Seq(1L -> refText, 2L -> refText.updated(150, 'x'),
+      3L -> twin, 4L -> twin, 5L -> "completely unrelated corpus text")
+    val expected = corpRows.map { case (cid, ct) =>
+      val ms = refRows.flatMap { case (rid, rt) =>
+        if (!coBanded(sig(ct), sig(rt))) None
+        else {
+          val (a, b) = (shingles(ct), shingles(rt))
+          val j = round4(a.intersect(b).size.toDouble / a.union(b).size)
+          if (j >= 0.8) Some((rid, j)) else None
+        }
+      }
+      cid -> ((ms.size.toLong,
+        if (ms.isEmpty) None else Some(ms.map(_._1).min),
+        if (ms.isEmpty) None else Some(ms.map(_._2).max),
+        if (ms.isEmpty) 1L else 0L))
+    }.toMap
+    val got = TrainingOps.crossNearDup(corpus, ref).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getLong(4)))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the planted exact copy MUST be flagged at jaccard 1.0
+    assert(got(1L) == ((1L, Some(100L), Some(1.0), 0L)))
+    // within-corpus dups are out of scope for the CROSS regime
+    assert(got(3L)._4 == 1L && got(4L)._4 == 1L,
+      "within-corpus duplicates must survive cross-corpus dedup")
+  }
+
+  // --- vocabulary OOV (x65) -------------------------------------------------------
+
+  test("vocabOov: top-V by (count desc, term asc), OOV mass in basis points") {
+    val ss = spark
+    import ss.implicits._
+    // corpus counts: alpha=4, beta=3, gamma=3, delta=1 -> with v=2 the
+    // vocab is {alpha, beta}: the beta/gamma tie breaks LEXICOGRAPHICALLY
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta gamma alpha delta"),
+      (3L, "gamma beta alpha"),
+      (4L, "123 456"), // zero [a-z] tokens -> 0/0/0
+      (5L, "delta")).toDF("doc_id", "text")
+    val got = TrainingOps.vocabOov(docs, v = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((4L, 1L, 2500L)), s"doc 1: ${got(1L)}") // gamma OOV
+    assert(got(2L) == ((4L, 2L, 5000L)), s"doc 2: ${got(2L)}") // gamma+delta
+    assert(got(3L) == ((3L, 1L, 3333L)), s"doc 3: ${got(3L)}") // 1*10000 DIV 3
+    assert(got(4L) == ((0L, 0L, 0L)), "zero-token doc is decided, not absent")
+    assert(got(5L) == ((1L, 1L, 10000L)), "all-OOV doc")
+  }
+
   // --- duplicate-token stats (x63) ---------------------------------------------
 
   test("dupTokenStats reports the planted copied-run token share in basis points") {
