@@ -943,9 +943,10 @@ object TrainingOps {
   }
 
   /** Word n-gram fingerprints (60-bit portable md5 prefix) — shared by
-    * both decontamination variants; see [[decontaminate]] for the hash
-    * width and clamped-slice contract. */
-  private def wordGramHashes(c: Column, n: Int): Column = {
+    * both batch decontamination variants and the streaming form
+    * ([[graft.streaming.StreamingPipeline.streamDecontaminate]]); see
+    * [[decontaminate]] for the hash width and clamped-slice contract. */
+  private[graft] def wordGramHashes(c: Column, n: Int): Column = {
     val toks = split(normText(c), " ")
     transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),

@@ -51,6 +51,32 @@ object StreamingPipeline {
       .as[Turn]
   }
 
+  /** Streaming decontamination — x19 at ingest time: a stream of
+    * (doc_id, text) documents joins its word-13-gram fingerprints
+    * against a STATIC benchmark gram set (stream-static inner joins
+    * are stateless in Structured Streaming — each micro-batch probes
+    * the static side, no stream state), then counts hits per doc in
+    * Update mode. Because a document's grams arrive in ONE input row,
+    * each doc's aggregate closes within its own micro-batch — the
+    * update-mode state never needs revision, and the final value per
+    * doc_id equals the batch [[graft.ops.TrainingOps.decontaminate]]
+    * row exactly (spec-pinned). At unbounded-stream scale, bound the
+    * aggregation state with a watermark on an event-time column (the
+    * streamDedup contract); the gram set side scales by swapping the
+    * broadcast for the x39 Bloom-literal prefilter, identical plan
+    * options to batch. */
+  def streamDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                          n: Int = 13): DataFrame = {
+    val bGrams = benchmark.select(
+      explode(array_distinct(
+        graft.ops.TrainingOps.wordGramHashes(col("text"), n))).as("g")).distinct()
+    val dGrams = docs.select(col("doc_id"),
+      explode(array_distinct(
+        graft.ops.TrainingOps.wordGramHashes(col("text"), n))).as("g"))
+    dGrams.join(broadcast(bGrams), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** One emitted near-duplicate match (canonical id order). */
   final case class NearDupPair(id_a: Long, id_b: Long, hamming: Int)
 

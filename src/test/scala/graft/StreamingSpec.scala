@@ -324,4 +324,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == expected.toMap, s"stream $streamed vs jvm $expected")
     assert(batch == expected.toMap, s"batch $batch vs jvm $expected")
   }
+
+  test("streaming decontamination hit counts == batch decontaminate, across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench13 = (1 to 13).map(i => s"bench$i").mkString(" ")
+    val other13 = (1 to 13).map(i => s"memo$i").mkString(" ")
+    val benchmark = Seq((900L, s"$bench13 plus trailing benchmark prose"),
+      (901L, other13)).toDF("doc_id", "text")
+    // doc 1: one contaminated 13-gram; doc 2: clean; doc 3 (batch 2):
+    // contains BOTH benchmark grams; doc 4: clean
+    val b1 = Seq((1L, s"leading words then $bench13 and a tail"),
+      (2L, "totally clean document with enough words to mean something"))
+    val b2 = Seq((3L, s"$bench13 middle filler $other13"),
+      (4L, "another clean one"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.streamDecontaminate(
+      input.toDF().toDF("doc_id", "text"), benchmark)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Update).start()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // update mode re-emits a key only if its aggregate changed; each
+    // doc's grams arrive in one row, so the LAST value per key is final
+    val streamed = spark.sql("SELECT doc_id, n_hits FROM decon_out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.TrainingOps.decontaminate(
+      (b1 ++ b2).toDF("doc_id", "text"), benchmark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.keySet == Set(1L, 3L), s"planted contamination wrong: $batch")
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed(3L) > streamed(1L),
+      "doc with both benchmark grams must count more hits")
+  }
 }
