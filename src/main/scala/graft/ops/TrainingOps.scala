@@ -2184,13 +2184,21 @@ object TrainingOps {
     val bIdx = filter(sequence(lit(1), n), i =>
       i < n && pmod(portableHash(concat(lit("cdc:"), element_at(col("toks"), i))),
         lit(modulus.toLong)) === 0)
-    val bs = concat(array(lit(0)), bIdx, array(n))
+    // NAMED boundary for the fencepost array: the chunk transform below
+    // references it several times per element — inlined as one
+    // expression tree, the md5 boundary scan would re-run ~3× per CHUNK
+    // (measured 10.7 s vs ~1 s at sf0.1; the winnowFingerprints
+    // lesson — a multiply-referenced expensive alias is the thing
+    // CollapseProject refuses to re-inline)
+    val withBs = base.select(col("doc_id"), col("toks"),
+      concat(array(lit(0)), bIdx, array(n)).as("bs"))
+    val bs = col("bs")
     val chunks = transform(sequence(lit(0), size(bs) - 2), k =>
       struct(k.cast(LongType).as("chunk_idx"),
         array_join(slice(col("toks"), element_at(bs, k + 1) + 1,
           element_at(bs, k + 2) - element_at(bs, k + 1)), " ").as("chunk_text"),
         (element_at(bs, k + 2) - element_at(bs, k + 1)).cast(LongType).as("n_words")))
-    base.select(col("doc_id"), explode(chunks).as("c"))
+    withBs.select(col("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.chunk_text").as("chunk_text"), col("c.n_words").as("n_words"))
       .orderBy("doc_id", "chunk_idx")

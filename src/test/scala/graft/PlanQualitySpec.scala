@@ -185,6 +185,24 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally base.unpersist()
   }
 
+  test("x64: cross-corpus band join reads both cached signature tables, no cross join") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = d.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(13L)) =!= 0)
+    val ref = d.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(13L)) === 0)
+    val (df, caches) = graft.ops.TrainingOps.crossNearDupPlan(corpus, ref)
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"expected BOTH persisted signature tables behind the band join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"x64 must stay an equi-join pipeline:\n$p")
+    } finally caches.foreach(_.unpersist())
+  }
+
   test("x56/x59: caches are released after the result materializes") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def cachedRdds(): Int = spark.sparkContext.getPersistentRDDs.size
