@@ -1067,7 +1067,8 @@ object SparkEntry {
       val a = TrainingOps.JacA(i); val b = TrainingOps.JacB(i); val p = TrainingOps.JacP
       s"list_min([($shingleHashSql * $a + $b) % $p FOR sh IN list_distinct(${shinglesKSql("n", 9)})]) AS m$i"
     }.mkString(",\n  ")
-    s"""WITH nrm AS (SELECT doc_id, $normSql AS n FROM documents),
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS n FROM documents
+       |             WHERE $normSql <> ''),
        |sigs AS (SELECT doc_id, $mh FROM nrm),
        |bands AS (
        | SELECT doc_id, 0 AS band, m0 || ':' || m1 || ':' || m2 || ':' || m3 AS key FROM sigs
@@ -1873,13 +1874,17 @@ object SparkEntry {
         |wc AS (SELECT doc_id, w, count(*) AS cnt FROM wd GROUP BY 1, 2),
         |ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
         |       CAST(count(*) AS BIGINT) AS n_types FROM wc GROUP BY 1)
-        |SELECT cs.doc_id AS doc_id, n_chars, n_char_types,
-        | round(ln(n_chars) - clogc / n_chars, 4) AS char_entropy,
+        |SELECT d.doc_id AS doc_id,
+        | CAST(COALESCE(cs.n_chars, 0) AS BIGINT) AS n_chars,
+        | CAST(COALESCE(n_char_types, 0) AS BIGINT) AS n_char_types,
+        | CASE WHEN cs.n_chars > 0
+        |      THEN round(ln(cs.n_chars) - clogc / cs.n_chars, 4) END AS char_entropy,
         | CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
         | CAST(COALESCE(n_types, 0) AS BIGINT) AS n_types,
         | CASE WHEN COALESCE(n_tokens, 0) > 0
         |      THEN round(n_types * 1.0 / n_tokens, 4) END AS ttr
-        |FROM cs LEFT JOIN ws ON cs.doc_id = ws.doc_id ORDER BY doc_id""".stripMargin,
+        |FROM documents d LEFT JOIN cs ON d.doc_id = cs.doc_id
+        | LEFT JOIN ws ON d.doc_id = ws.doc_id ORDER BY d.doc_id""".stripMargin,
     // x58: same fencepost construction — [0] ++ boundary positions ++ [n],
     // chunk k = toks[bs[k]+1 .. bs[k+1]] (DuckDB list slice is 1-based
     // inclusive; Spark slice(start, len) mirrors it)
@@ -2005,9 +2010,11 @@ object SparkEntry {
          |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
          | FROM cands JOIN sh_c a ON a.doc_id = c_id JOIN sh_r b ON b.doc_id = r_id),
          |hits AS (
-         | SELECT c_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
-         |  max(jaccard) AS best_jaccard, CAST(min(r_id) AS BIGINT) AS best_match
-         | FROM jac WHERE jaccard >= 0.8 GROUP BY 1)
+         | SELECT doc_id, n_matches, b.j AS best_jaccard,
+         |  CAST(-b.nr AS BIGINT) AS best_match
+         | FROM (SELECT c_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |        max(struct_pack(j := jaccard, nr := -r_id)) AS b
+         |       FROM jac WHERE jaccard >= 0.8 GROUP BY 1))
          |SELECT c.doc_id, CAST(coalesce(h.n_matches, 0) AS BIGINT) AS n_matches,
          | h.best_match, h.best_jaccard,
          | CAST(CASE WHEN h.n_matches IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep

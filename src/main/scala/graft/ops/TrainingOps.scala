@@ -932,15 +932,27 @@ object TrainingOps {
     * collision count ~10^-4 per 10^7×10^9 gram cross (ADVICE r03).
     * Documents shorter than n words contribute their whole token run
     * as one gram (clamped slice — mirrored by list_slice in SQL). */
-  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13): DataFrame = {
-    val bGrams = benchmark
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13): DataFrame =
+    decontaminateCore(docs, benchmarkGrams(benchmark, n), n).orderBy("doc_id")
+
+  /** Distinct benchmark gram-hash set — shared by [[decontaminate]] and
+    * the streaming form (which persists it so the static join side is
+    * not recomputed every micro-batch). */
+  private[graft] def benchmarkGrams(benchmark: DataFrame, n: Int): DataFrame =
+    benchmark
       .select(explode(array_distinct(wordGramHashes(col("text"), n))).as("g")).distinct()
-    val dGrams = docs
+
+  /** The unordered decontamination body — ONE implementation behind the
+    * batch operator (which adds the deterministic-oracle sort) and
+    * [[graft.streaming.StreamingPipeline.streamDecontaminate]] (whose
+    * spec pins stream ≡ batch, so the shared core is what makes the
+    * equivalence survive future changes by construction). */
+  private[graft] def decontaminateCore(docs: DataFrame, bGrams: DataFrame,
+                                       n: Int): DataFrame =
+    docs
       .select(col("doc_id"), explode(array_distinct(wordGramHashes(col("text"), n))).as("g"))
-    dGrams.join(broadcast(bGrams), Seq("g"))
+      .join(broadcast(bGrams), Seq("g"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      .orderBy("doc_id")
-  }
 
   /** Word n-gram fingerprints (60-bit portable md5 prefix) — shared by
     * both batch decontamination variants and the streaming form
@@ -2144,7 +2156,7 @@ object TrainingOps {
       .select(col("doc_id"), col("u.kind").as("kind"), col("u.v").as("v"))
     val counts = units.groupBy("doc_id", "kind", "v")
       .agg(count(lit(1)).as("cnt"))
-    counts.groupBy("doc_id").agg(
+    val scored = counts.groupBy("doc_id").agg(
       sum(when(col("kind") === "c", col("cnt")).otherwise(0L)).as("n_chars"),
       sum(when(col("kind") === "c", 1L).otherwise(0L)).as("n_char_types"),
       sum(when(col("kind") === "c",
@@ -2159,6 +2171,16 @@ object TrainingOps {
         when(col("n_tokens") > 0,
           round(col("n_types").cast(DoubleType) / col("n_tokens"), 4))
           .as("ttr"))
+    // empty-text docs have no unit rows at all — the left join keeps the
+    // every-doc-gets-a-decided-row convention (0 counts, NULL signals)
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_char_types"), lit(0L)).as("n_char_types"),
+        col("char_entropy"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        col("ttr"))
       .orderBy("doc_id")
   }
 
@@ -2229,24 +2251,17 @@ object TrainingOps {
       i => substring(nrm, i.cast("int"), lit(k)))
     // one materialization boundary after the md5 hash array (the x13
     // CollapseProject lesson: interpreted HOF lambdas re-inline into
-    // every minhash column and join branch without it)
-    val base = spread.select(col("doc_id"), nrm.as("norm"),
-      transform(array_distinct(sh),
-        s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)).as("hl"))
+    // every minhash column and join branch without it). Empty-norm docs
+    // are excluded UP FRONT: two of them would co-band (identical
+    // single-""-shingle signatures) and the similarity denominator
+    // greatest(len, len) = 0 would throw under ANSI mode (Spark 4
+    // default) — an empty payload has no edit-distance neighborhood.
+    val base = spread.filter(length(nrm) > 0)
+      .select(col("doc_id"), nrm.as("norm"),
+        transform(array_distinct(sh),
+          s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)).as("hl"))
       .persist()
-    val mhCols = JacA.indices.map { i =>
-      array_min(transform(col("hl"),
-        x => pmod(x * JacA(i) + JacB(i), lit(JacP)))).as(s"m$i")
-    }
-    val sigs = base.select((col("doc_id") +: mhCols): _*)
-    val bands = sigs.select(col("doc_id"),
-      explode(array(
-        struct(lit(0).as("band"),
-          concat_ws(":", col("m0"), col("m1"), col("m2"), col("m3")).as("key")),
-        struct(lit(1).as("band"),
-          concat_ws(":", col("m4"), col("m5"), col("m6"), col("m7")).as("key"))
-      )).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val bands = bandKeys(base)
     val cands = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
       .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
@@ -2437,10 +2452,15 @@ object TrainingOps {
         round(size(array_intersect(col("sh_c"), col("sh_r"))).cast(DoubleType)
           / size(array_union(col("sh_c"), col("sh_r"))), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // best match = THE reference doc that produced the best similarity
+    // (one struct-max: max jaccard, ties to the smallest r_id via the
+    // negated id — a total order, so the attribution is deterministic
+    // and best_jaccard/best_match always describe the same pair)
     val hits = verified.groupBy(col("c_id").as("doc_id")).agg(
-      count(lit(1)).as("n_matches"),
-      max("jaccard").as("best_jaccard"),
-      min("r_id").as("best_match"))
+        count(lit(1)).as("n_matches"),
+        max(struct(col("jaccard").as("j"), (-col("r_id")).as("nr"))).as("b"))
+      .select(col("doc_id"), col("n_matches"),
+        col("b.j").as("best_jaccard"), (-col("b.nr")).as("best_match"))
     val out = corpus.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),

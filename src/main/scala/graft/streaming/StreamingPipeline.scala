@@ -67,14 +67,12 @@ object StreamingPipeline {
     * options to batch. */
   def streamDecontaminate(docs: DataFrame, benchmark: DataFrame,
                           n: Int = 13): DataFrame = {
-    val bGrams = benchmark.select(
-      explode(array_distinct(
-        graft.ops.TrainingOps.wordGramHashes(col("text"), n))).as("g")).distinct()
-    val dGrams = docs.select(col("doc_id"),
-      explode(array_distinct(
-        graft.ops.TrainingOps.wordGramHashes(col("text"), n))).as("g"))
-    dGrams.join(broadcast(bGrams), Seq("g"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    // the static side of a stream-static join re-evaluates per trigger;
+    // persist the gram set once so micro-batches reuse it (the cache
+    // lives as long as the streaming query — intended; a caller that
+    // stops the stream can sweep it via spark.catalog.clearCache())
+    val bGrams = graft.ops.TrainingOps.benchmarkGrams(benchmark, n).persist()
+    graft.ops.TrainingOps.decontaminateCore(docs, bGrams, n)
   }
 
   /** One emitted near-duplicate match (canonical id order). */

@@ -1237,7 +1237,8 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       2L -> "abab cd!",
       3L -> "123 456", // no [a-z] tokens -> NULL ttr, zero counts
       4L -> "The quick brown fox the QUICK")
-    val docs = corpus.toDF("doc_id", "text")
+    // empty text: still a decided row (0 counts, NULL entropy + ttr)
+    val docs = (corpus :+ (5L -> "")).toDF("doc_id", "text")
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val got = TrainingOps.textEntropy(docs).collect()
@@ -1259,6 +1260,10 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"doc $id ttr")
     }
     assert(got(1L).getDouble(3) == 0.0, "degenerate aaaa has zero entropy")
+    val e = got(5L)
+    assert(e.getLong(1) == 0L && e.getLong(2) == 0L && e.isNullAt(3)
+      && e.getLong(4) == 0L && e.getLong(5) == 0L && e.isNullAt(6),
+      s"empty doc must be a decided zero/NULL row, got $e")
   }
 
   // --- content-defined chunking (x58) ---------------------------------------
@@ -1324,8 +1329,10 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val edited = base.updated(200, 'x') // same length, one substitution
     val other = (1 to 60).map(i => s"item$i").mkString(" ")
     val extended = other + " extra tail"
+    // 6/7: empty-norm docs — pre-fix these co-banded on the ""-shingle
+    // signature and the sim denominator divided by zero under ANSI
     val corpus = Seq((1L, base), (2L, edited), (3L, other), (4L, extended),
-      (5L, "totally unrelated short text"))
+      (5L, "totally unrelated short text"), (6L, ""), (7L, "   "))
     val docs = corpus.toDF("doc_id", "text")
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1347,7 +1354,9 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       id -> t.toLowerCase.trim.replaceAll("\\s+", " ") }.toMap
     val expected = (for {
       (a, _) <- corpus.iterator; (b, _) <- corpus.iterator
-      if a < b && coBanded(a, b)
+      // empty-norm docs are excluded by the operator (no edit-distance
+      // neighborhood; their 0/0 similarity is undefined)
+      if a < b && norm(a).nonEmpty && norm(b).nonEmpty && coBanded(a, b)
       l = lev(norm(a), norm(b))
       s = round4(1.0 - l.toDouble / math.max(norm(a).length, norm(b).length))
       if s >= 0.8
@@ -1481,13 +1490,15 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import ss.implicits._
     val refText = (1 to 60).map(i => s"ref$i").mkString(" ")
     val twin = (1 to 30).map(i => s"twin$i").mkString(" ")
-    val ref = Seq((100L, refText), (101L, "reference only words here nothing else"))
-      .toDF("doc_id", "text")
-    val corpus = Seq(
-      (1L, refText), // exact copy of ref 100: jaccard 1.0, dropped
-      (2L, refText.updated(150, 'x')), // near-dup in-place edit
-      (3L, twin), (4L, twin), // WITHIN-corpus exact dups: must both survive
-      (5L, "completely unrelated corpus text")).toDF("doc_id", "text")
+    // ref 100 is a perturbed copy, ref 102 the exact text: corpus doc 1
+    // matches BOTH, and its best match must be the HIGHER id (102, at
+    // jaccard 1.0) — the argmax attribution a min(r_id) rule gets wrong
+    val refRows = Seq(100L -> refText.updated(150, 'q'),
+      101L -> "reference only words here nothing else", 102L -> refText)
+    val corpRows = Seq(1L -> refText, 2L -> refText.updated(150, 'x'),
+      3L -> twin, 4L -> twin, 5L -> "completely unrelated corpus text")
+    val ref = refRows.toDF("doc_id", "text")
+    val corpus = corpRows.toDF("doc_id", "text")
     // JVM recompute: shingle sets, minhash bands, cross candidates, jaccard
     def shingles(t: String): Set[String] = {
       val n = t.toLowerCase.trim.replaceAll("\\s+", " ")
@@ -1504,9 +1515,6 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       a.take(4).sameElements(b.take(4)) || a.drop(4).sameElements(b.drop(4))
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val refRows = Seq(100L -> refText, 101L -> "reference only words here nothing else")
-    val corpRows = Seq(1L -> refText, 2L -> refText.updated(150, 'x'),
-      3L -> twin, 4L -> twin, 5L -> "completely unrelated corpus text")
     val expected = corpRows.map { case (cid, ct) =>
       val ms = refRows.flatMap { case (rid, rt) =>
         if (!coBanded(sig(ct), sig(rt))) None
@@ -1516,9 +1524,9 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           if (j >= 0.8) Some((rid, j)) else None
         }
       }
-      cid -> ((ms.size.toLong,
-        if (ms.isEmpty) None else Some(ms.map(_._1).min),
-        if (ms.isEmpty) None else Some(ms.map(_._2).max),
+      // attribution: max jaccard, ties to the smallest ref id
+      val best = if (ms.isEmpty) None else Some(ms.maxBy(m => (m._2, -m._1)))
+      cid -> ((ms.size.toLong, best.map(_._1), best.map(_._2),
         if (ms.isEmpty) 1L else 0L))
     }.toMap
     val got = TrainingOps.crossNearDup(corpus, ref).collect()
@@ -1527,8 +1535,11 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (r.isNullAt(3)) None else Some(r.getDouble(3)),
         r.getLong(4)))).toMap
     assert(got == expected, s"got $got\nexpected $expected")
-    // the planted exact copy MUST be flagged at jaccard 1.0
-    assert(got(1L) == ((1L, Some(100L), Some(1.0), 0L)))
+    // the planted exact copy MUST be flagged, and its best match must be
+    // the doc that PRODUCED the 1.0 — ref 102, not the smaller ref 100
+    val g1 = got(1L)
+    assert(g1._1 >= 1L && g1._2.contains(102L) && g1._3.contains(1.0) && g1._4 == 0L,
+      s"exact copy must attribute best_match=102 at jaccard 1.0: $g1")
     // within-corpus dups are out of scope for the CROSS regime
     assert(got(3L)._4 == 1L && got(4L)._4 == 1L,
       "within-corpus duplicates must survive cross-corpus dedup")
