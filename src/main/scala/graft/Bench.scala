@@ -125,7 +125,8 @@ object Bench {
       // round-4 extension: inverted index, bigram LM, DSIR weights,
       // dup-token fraction
       "x60_inverted_index", "x61_bigram_logprob", "x62_dsir_weights",
-      "x63_dup_token_stats", "x64_cross_neardup", "x65_vocab_oov")
+      "x63_dup_token_stats", "x64_cross_neardup", "x65_vocab_oov",
+      "x66_pagerank")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

@@ -528,6 +528,15 @@ object SparkEntry {
     // top-16 corpus vocabulary + per-doc OOV rate in basis points
     "x65_vocab_oov" -> ((s, dir) =>
       TrainingOps.vocabOov(s.read.parquet(t(dir, "documents")))),
+    // fixed-point integer PageRank (10 power iterations) over the
+    // deterministic synthetic doc link graph — the crawl-graph quality
+    // weight; integer DIV arithmetic makes an iterative algorithm
+    // bit-portable to the oracle
+    "x66_pagerank" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      TrainingOps.pageRank(TrainingOps.docLinkEdges(d))
+        .select(col("id").as("doc_id"), col("r").as("rank"))
+    }),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1008,6 +1017,39 @@ object SparkEntry {
        |  round(len(list_intersect(a.sh, b.sh)) * 1.0
        |    / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
        | FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)""".stripMargin
+  }
+
+  /** Fixed-point integer PageRank oracle — the synthetic link graph
+    * mirrored from [[graft.ops.TrainingOps.docLinkEdges]] and the ten
+    * power iterations UNROLLED as chained CTEs (recursive CTEs cannot
+    * aggregate over the recursive reference; unrolling sidesteps the
+    * restriction and keeps every step plain SQL). All divisions are
+    * DuckDB `//` ≡ Spark `div`, so ranks match bit-for-bit. */
+  private def pageRankOracleSql: String = {
+    val scale = 1000000000000L
+    val iters = (1 to 10).map { k =>
+      s"""pr$k AS (
+         | SELECT nodes.id AS id,
+         |  CAST((15 * $scale // 100) // n + 85 * COALESCE(s, 0) // 100 AS BIGINT) AS r
+         | FROM nodes CROSS JOIN nn LEFT JOIN (
+         |   SELECT e.dst AS id, sum(p.r // d.outdeg) AS s
+         |   FROM pr${k - 1} p JOIN edges e ON p.id = e.src JOIN deg d ON d.src = e.src
+         |   GROUP BY e.dst) c ON nodes.id = c.id)"""
+    }.mkString(",\n")
+    s"""WITH m AS (SELECT max(doc_id) + 1 AS m FROM documents),
+       |raw AS (
+       | SELECT doc_id AS src, ((doc_id * doc_id + 7) % m.m) AS dst FROM documents, m
+       | UNION
+       | SELECT doc_id, ((doc_id * 13 + 5) % m.m) FROM documents, m),
+       |edges AS (
+       | SELECT DISTINCT src, dst FROM raw
+       | WHERE src <> dst AND dst IN (SELECT doc_id FROM documents)),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |pr0 AS (SELECT id, CAST($scale // n AS BIGINT) AS r FROM nodes, nn),
+       |$iters
+       |SELECT id AS doc_id, r AS rank FROM pr10 ORDER BY doc_id""".stripMargin
   }
 
   /** The x13 9-gram minhash signature/band/shingle CTEs instantiated
@@ -2040,7 +2082,10 @@ object SparkEntry {
         | CAST(CASE WHEN coalesce(n_tokens, 0) > 0
         |      THEN coalesce(n_oov, 0) * 10000 // n_tokens ELSE 0 END AS BIGINT) AS oov_bp
         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+    // x66: the ten power iterations unrolled as chained CTEs — pure
+    // integer arithmetic (// ≡ Spark div), so equality is exact
+    "x66_pagerank" -> pageRankOracleSql)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

@@ -2502,4 +2502,75 @@ object TrainingOps {
           .otherwise(0L))
       .orderBy("doc_id")
   }
+
+  /** Deterministic synthetic link graph over the documents table — the
+    * stand-in for a real URL/link graph (testdata carries none; the
+    * x27/x43 synthesis convention): each doc links to
+    * (id²+7) mod M and (id·13+5) mod M for M = max(doc_id)+1 —
+    * the quadratic map is deliberately NON-bijective so in-degrees
+    * (and therefore ranks) vary; an affine-only graph is 2-regular and
+    * its PageRank is the uniform fixed point, a zero-signal test —
+    * self-loops dropped, targets resolved against the existing id set
+    * (id-space holes are legal), de-duplicated. */
+  def docLinkEdges(docs: DataFrame): DataFrame = {
+    val m = docs.agg((max("doc_id") + 1).as("m"))
+    val ids = docs.select(col("doc_id"))
+    ids.crossJoin(broadcast(m))
+      .select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") * col("doc_id") + 7, col("m")),
+          pmod(col("doc_id") * 13 + 5, col("m")))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  /** PageRank over a (src, dst) edge list — the link-graph quality
+    * weight web-corpus pipelines attach to documents (a crawl-graph
+    * PageRank percentile is a standard pretraining quality signal).
+    * Power iteration in FIXED-POINT INTEGER arithmetic
+    * (rank ∈ [0, scale], damping 0.85 as 85/100, every division an
+    * integral DIV) so ten iterations of re-aggregation produce
+    * bit-identical ranks on any engine and any partitioning — no float
+    * sum-order drift, which is what makes a full cross-engine oracle
+    * possible for an iterative float algorithm. Dangling-node mass is
+    * dropped (ranks no longer sum to `scale` — the common simplification;
+    * the ordering signal is unaffected). Scale shape: per iteration ONE
+    * contribution shuffle (edges join ranks on src, aggregate on dst) +
+    * a left join back to the node set; each round's result is
+    * checkpointed (lineage truncation) and the superseded round's
+    * blocks are released, the dupComponents convention. */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+               scale: Long = 1000000000000L): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    try {
+      var (r, rIds) = {
+        val r0 = nodes.crossJoin(broadcast(nn))
+          .select(col("id"), expr(s"${scale}L div n").as("r"))
+        val before = nodes.sparkSession.sparkContext.getPersistentRDDs.keySet.toSet
+        val out = r0.localCheckpoint(true)
+        (out, nodes.sparkSession.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+      }
+      for (_ <- 1 to iterations) {
+        val contrib = r.join(edges, r("id") === edges("src"))
+          .join(deg, "src")
+          .select(col("dst").as("id"), expr("r div outdeg").as("c"))
+          .groupBy("id").agg(sum("c").as("s"))
+        val next = nodes.crossJoin(broadcast(nn))
+          .join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (expr(s"(15 * ${scale}L div 100) div n")
+              + expr("85 * coalesce(s, 0L) div 100")).as("r"))
+        val sc = nodes.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val out = next.localCheckpoint(true)
+        val newIds = sc.getPersistentRDDs.keySet.toSet -- before
+        releaseRdds(r, rIds)
+        r = out; rIds = newIds
+      }
+      r.orderBy("id")
+    } finally { nodes.unpersist(); deg.unpersist() }
+  }
 }

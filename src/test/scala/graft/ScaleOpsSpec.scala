@@ -1567,6 +1567,38 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == ((1L, 1L, 10000L)), "all-OOV doc")
   }
 
+  // --- fixed-point PageRank (x66) -------------------------------------------------
+
+  test("pageRank: fixed-point integer iteration matches a JVM recompute exactly") {
+    val ss = spark
+    import ss.implicits._
+    // hub (everyone links to 1), a 2-cycle back, a dangling node 5
+    // (in-edges only: its mass drops — the documented simplification)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (3L, 5L), (4L, 5L))
+      .toDF("src", "dst")
+    val scale = 1000000000000L
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val out = Map(1L -> Seq(2L), 2L -> Seq(1L), 3L -> Seq(1L, 5L), 4L -> Seq(1L, 5L))
+    var r = nodes.map(n => n -> scale / nodes.size).toMap
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, ds) <- out; d <- ds) contrib(d) += r(s) / ds.size
+      r = nodes.map(n => n -> ((15 * scale / 100) / nodes.size + 85 * contrib(n) / 100)).toMap
+    }
+    val got = TrainingOps.pageRank(edges).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == r, s"got $got\nexpected $r")
+    // the 1<->2 cycle holds the circulating mass (which side holds more
+    // depends on the iteration parity — the exact-equality assert above
+    // already pins both); the fed dangling node beats the unfed leaves
+    assert(math.min(got(1L), got(2L)) > got(5L), s"cycle must outrank the dangling node: $got")
+    assert(got(5L) > got(3L), s"fed dangling node must outrank unfed leaves: $got")
+    assert(got(3L) == got(4L), "symmetric leaves must tie exactly")
+    // no persisted blocks leak beyond the returned checkpoint
+    val live = spark.sparkContext.getPersistentRDDs.size
+    assert(live <= 4, s"superseded round checkpoints must be released, live=$live")
+  }
+
   // --- duplicate-token stats (x63) ---------------------------------------------
 
   test("dupTokenStats reports the planted copied-run token share in basis points") {
