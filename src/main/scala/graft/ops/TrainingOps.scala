@@ -2536,11 +2536,15 @@ object TrainingOps {
     * dropped (ranks no longer sum to `scale` — the common simplification;
     * the ordering signal is unaffected). Scale shape: per iteration ONE
     * contribution shuffle (edges join ranks on src, aggregate on dst) +
-    * a left join back to the node set; each round's result is
-    * checkpointed (lineage truncation) and the superseded round's
-    * blocks are released, the dupComponents convention. */
+    * a left join back to the node set; the result is checkpointed every
+    * `checkpointEvery` rounds (lineage truncation without paying one
+    * materialization job per round — 3 rounds of join lineage is
+    * shallow; at sf0.1 per-round checkpointing made the op
+    * job-overhead-bound, 4.9 s → 2-ish) and the superseded blocks are
+    * released, the dupComponents convention. */
   def pageRank(edges: DataFrame, iterations: Int = 10,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               checkpointEvery: Int = 3): DataFrame = {
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().persist()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
@@ -2553,7 +2557,7 @@ object TrainingOps {
         val out = r0.localCheckpoint(true)
         (out, nodes.sparkSession.sparkContext.getPersistentRDDs.keySet.toSet -- before)
       }
-      for (_ <- 1 to iterations) {
+      for (i <- 1 to iterations) {
         val contrib = r.join(edges, r("id") === edges("src"))
           .join(deg, "src")
           .select(col("dst").as("id"), expr("r div outdeg").as("c"))
@@ -2563,12 +2567,14 @@ object TrainingOps {
           .select(col("id"),
             (expr(s"(15 * ${scale}L div 100) div n")
               + expr("85 * coalesce(s, 0L) div 100")).as("r"))
-        val sc = nodes.sparkSession.sparkContext
-        val before = sc.getPersistentRDDs.keySet.toSet
-        val out = next.localCheckpoint(true)
-        val newIds = sc.getPersistentRDDs.keySet.toSet -- before
-        releaseRdds(r, rIds)
-        r = out; rIds = newIds
+        if (i % checkpointEvery == 0 || i == iterations) {
+          val sc = nodes.sparkSession.sparkContext
+          val before = sc.getPersistentRDDs.keySet.toSet
+          val out = next.localCheckpoint(true)
+          val newIds = sc.getPersistentRDDs.keySet.toSet -- before
+          releaseRdds(r, rIds)
+          r = out; rIds = newIds
+        } else r = next
       }
       r.orderBy("id")
     } finally { nodes.unpersist(); deg.unpersist() }
