@@ -228,6 +228,19 @@ object Bench {
     // in between) — official per-query time = min across the two passes
     val spark2 = newSession(hi)
     val qPass2 = queryPass(spark2)
+    // PageRank on a DATA-BOUND graph (VERDICT r04 next #7): the sf0.1
+    // x66 query runs on a 10k-edge graph, so its wall time is 10 rounds
+    // of fixed job overhead, not the contribution shuffle. Measure the
+    // shuffle on ~10M synthetic edges (graph build untimed — on a real
+    // corpus the edge list already exists as a table).
+    val (prEdges, prSec) = try {
+      val n = sys.env.getOrElse("SPARK_GRAFT_PR_NODES", "1250000").toLong
+      val edges = graft.ops.TrainingOps.syntheticLinkGraph(spark2, n).persist()
+      val ne = edges.count()
+      val (_, sec) = time(graft.ops.TrainingOps.pageRank(edges).count())
+      edges.unpersist()
+      (ne, sec)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1.0) }
     spark2.stop()
     val qTimes = headline.map(name =>
       name -> math.min(qPass1(name), qPass2(name)))
@@ -248,19 +261,30 @@ object Bench {
         s""""efficiency_rounds":[${roundEffs.map(f).mkString(",")}],""" +
         s""""efficiency_round_spread":${f(spread())},""" +
         s""""efficiency_singlebox_${lo}to$hi":${f(effSingleBox)},"n_turns":$nHi}"""
-    val json =
+    // FULL record (headline + all per-query timings) — goes to bench.json
+    // and an EARLY stdout line; the per-query map grew past the driver's
+    // stdout tail window in round 4 (58 timings → BENCH_r04 "parsed": null,
+    // the round-1 defect class back for a new reason), so the FINAL stdout
+    // line is a compact one the tail always captures whole.
+    val fullJson =
       s"""{"metric":"turns-extracted/sec","value":${f(thrHi)},"unit":"turns/sec",""" +
         s""""queries":$qs,"q14_candidate_ratio":${f(q14Ratio)},""" +
+        s""""pagerank_databound":{"edges":$prEdges,"seconds":${f(prSec)}},""" +
         s""""sf":"$sfDir","scaling":$scaling}"""
-    println(json)
-    // The metric line above reaches the driver through sbt's logger, which
-    // prefixes it with "[info] " and defeats JSON parsing (round-1 BENCH had
-    // "parsed": null). Also persist the bare line where the driver (and
-    // anyone else) can read it without log scraping.
+    val compactJson =
+      s"""{"metric":"turns-extracted/sec","value":${f(thrHi)},"unit":"turns/sec",""" +
+        s""""q14_candidate_ratio":${f(q14Ratio)},"n_queries":${headline.size},""" +
+        s""""queries_file":"bench.json","sf":"$sfDir","scaling":$scaling}"""
+    println(fullJson) // early line: complete record if the tail reaches it
+    println(compactJson) // FINAL line: always inside the tail window
+    // The metric lines above reach the driver through sbt's logger, which
+    // prefixes them with "[info] " and defeats JSON parsing (round-1 BENCH
+    // had "parsed": null). Also persist the bare full record where the
+    // driver (and anyone else) can read it without log scraping.
     import java.nio.file.{Files, Paths, StandardOpenOption}
     import java.nio.charset.StandardCharsets
     for (p <- Seq("bench.json", "/root/repo/bench.json").map(Paths.get(_)).distinct) {
-      try Files.write(p, (json + "\n").getBytes(StandardCharsets.UTF_8),
+      try Files.write(p, (fullJson + "\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       catch { case _: java.io.IOException => () } // best-effort secondary sink
     }

@@ -84,10 +84,14 @@ object StreamingPipeline {
     * 4×15-bit band keys; keyed state per (band, value) bucket holds the
     * (doc_id, simhash) fingerprints seen there, and an arriving
     * document emits a pair for every stored fingerprint within
-    * `maxHamming` — the same pigeonhole blocking as the batch equi-join
-    * (a pair within hamming k must agree on >=1 band), so the DISTINCT
-    * emitted pair set equals the batch operator's output regardless of
-    * arrival order or batch boundaries (spec-pinned). A pair agreeing
+    * `maxHamming` — the same band-equality blocking as the batch
+    * equi-join. (Pigeonhole makes that blocking COMPLETE only for
+    * k < nBands — k <= 3 here; at the default maxHamming=12 the 12
+    * differing bits can spread 3 per band, so band blocking is a
+    * recall heuristic, not a guarantee.) Because stream and batch use
+    * IDENTICAL banding, the DISTINCT emitted pair set still equals the
+    * batch operator's output regardless of arrival order or batch
+    * boundaries (spec-pinned). A pair agreeing
     * on multiple bands is emitted once per agreeing band — downstream
     * consumers dedup with a dropDuplicates, exactly like the batch
     * candidate set. State is per-bucket and grows with the corpus; at

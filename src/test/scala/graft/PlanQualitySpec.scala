@@ -120,14 +120,14 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("x13: jaccard pipeline reads the cached signature table, no cross join") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val (df, base) = graft.ops.TrainingOps.jaccardNearDupPairsPlan(docs)
+    val (df, caches) = graft.ops.TrainingOps.jaccardNearDupPairsPlan(docs)
     try {
       val p = df.queryExecution.executedPlan.toString()
       assert(p.contains("InMemoryTableScan"),
         s"expected the persisted hash-array table behind the band join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"x13 must stay an equi-join pipeline:\n$p")
-    } finally base.unpersist()
+    } finally caches.foreach(_.unpersist())
   }
 
   test("x06/x13/x14: caches are released after the result materializes") {
@@ -148,8 +148,14 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.ops.TrainingOps.simhashNearDupPairs(docs).count()
     graft.ops.TrainingOps.jaccardNearDupPairs(docs).count()
     graft.ops.TrainingOps.dupComponents(docs).count()
-    System.gc() // let ContextCleaner reap the unreferenced checkpoints
-    Thread.sleep(500)
+    // poll rather than one fixed sleep: the ops release via
+    // unpersist(blocking=false) and ContextCleaner GC, both asynchronous —
+    // a single 500 ms nap made this assert timing-dependent (the r4
+    // pageRank flake class)
+    val deadline = System.nanoTime() + 10000000000L
+    while (cachedRdds() > mid + 3 && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(100)
+    }
     val after = cachedRdds()
     assert(after <= mid + 3,
       s"persistent RDDs grow across invocations: before=$before mid=$mid after=$after")
@@ -173,16 +179,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally lines.unpersist()
   }
 
+  test("x48: first-occurrence pick is a min-struct aggregate, not a hot-gram window") {
+    // a row_number window partitioned by the gram fingerprint would funnel
+    // every corpus occurrence of one boilerplate 13-gram through ONE task
+    // (VERDICT r04 what's-wrong #3); the aggregate gets map-side combine —
+    // the same pin x56 carries for line fingerprints
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.ops.TrainingOps.repeatedDupWindows(docs, 13)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Window"),
+      s"x48 first-occurrence selection must not use a window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"expected map-side partial aggregation on the gram key:\n$p")
+  }
+
   test("x59: edit-distance pipeline reads the cached text table, equi-joins only") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val (df, base) = graft.ops.TrainingOps.editNearDupPairsPlan(docs)
+    val (df, caches) = graft.ops.TrainingOps.editNearDupPairsPlan(docs)
     try {
       val p = df.queryExecution.executedPlan.toString()
       assert(p.contains("InMemoryTableScan"),
         s"expected the persisted norm/signature table behind bands + verify:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"the O(len²) DP must run only on band-bucketed candidates:\n$p")
-    } finally base.unpersist()
+    } finally caches.foreach(_.unpersist())
   }
 
   test("x64: cross-corpus band join reads both cached signature tables, no cross join") {
@@ -212,8 +232,11 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val mid = cachedRdds()
     graft.ops.TrainingOps.paragraphDedup(docs).count()
     graft.ops.TrainingOps.editNearDupPairs(docs).count()
-    System.gc()
-    Thread.sleep(500)
+    // poll, don't nap (async unpersists — the r4 pageRank flake class)
+    val deadline = System.nanoTime() + 10000000000L
+    while (cachedRdds() > mid + 2 && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(100)
+    }
     val after = cachedRdds()
     assert(after <= mid + 2,
       s"persistent RDDs grow across invocations: before=$before mid=$mid after=$after")
