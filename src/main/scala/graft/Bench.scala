@@ -126,7 +126,11 @@ object Bench {
       // dup-token fraction
       "x60_inverted_index", "x61_bigram_logprob", "x62_dsir_weights",
       "x63_dup_token_stats", "x64_cross_neardup", "x65_vocab_oov",
-      "x66_pagerank")
+      "x66_pagerank",
+      // round-5: streaming-form CMS build, span-dedup rewrite,
+      // domain-level quality curation
+      "x67_cms_stream_counters", "x68_span_rewrite", "x69_domain_quality",
+      "x70_bm25")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

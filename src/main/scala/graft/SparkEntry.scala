@@ -537,6 +537,30 @@ object SparkEntry {
       TrainingOps.pageRank(TrainingOps.docLinkEdges(d))
         .select(col("id").as("doc_id"), col("r").as("rank"))
     }),
+    // the STREAMING CMS counter build (per-occurrence cell scatter —
+    // the only build shape Structured Streaming's no-chained-aggregation
+    // rule allows) run in batch: the driver-side correctness row for the
+    // streaming sketch family (VERDICT r04 next #8; the stream ≡ batch
+    // micro-batch-fold equivalence is spec-pinned in StreamingSpec)
+    "x67_cms_stream_counters" -> ((s, dir) => {
+      val toks = s.read.parquet(t(dir, "documents"))
+        .select(explode(split(TrainingOps.normText(col("text")), " ")).as("tok"))
+      TrainingOps.cmsCountersFromTokens(toks)
+        .select(col("r").cast("long").as("r"), col("c"), col("cnt"))
+        .orderBy("r", "c")
+    }),
+    // span-dedup rewrite: the x48 spans CUT from each doc's normalized
+    // token stream (Lee et al. substring-dedup applied, every doc decided)
+    "x68_span_rewrite" -> ((s, dir) =>
+      TrainingOps.spanDedupRewrite(s.read.parquet(t(dir, "documents")))),
+    // domain-level quality curation: integer alpha-bp per doc, domain
+    // mean vs in-plan corpus mean, whole-host keep/drop decisions
+    "x69_domain_quality" -> ((s, dir) =>
+      TrainingOps.domainQuality(s.read.parquet(t(dir, "documents")))),
+    // BM25 top-10 per query term (corpus top-5 terms as the query set);
+    // two-level salted top-k, scores rounded before ranking
+    "x70_bm25" -> ((s, dir) =>
+      TrainingOps.bm25TopDocs(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -2085,7 +2109,81 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // x66: the ten power iterations unrolled as chained CTEs — pure
     // integer arithmetic (// ≡ Spark div), so equality is exact
-    "x66_pagerank" -> pageRankOracleSql)
+    "x66_pagerank" -> pageRankOracleSql,
+    // x67: the streaming CMS counter build (per-occurrence scatter) —
+    // same "cms:row:tok" md5 cell family as x54, counted per occurrence
+    "x67_cms_stream_counters" ->
+      s"""WITH tok AS (
+         | SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         |cells AS (
+         | SELECT t.r,
+         |        CAST(('0x' || substr(md5('cms:' || t.r || ':' || tok), 1, 8)) AS BIGINT) % 1024 AS c
+         | FROM tok CROSS JOIN range(0, 4) t(r) WHERE tok <> '')
+         |SELECT CAST(r AS BIGINT) AS r, c, CAST(count(*) AS BIGINT) AS cnt
+         |FROM cells GROUP BY r, c ORDER BY r, c""".stripMargin,
+    // x68: the x48 span CTEs verbatim, then every token position not
+    // covered by a span survives the rewrite (string_agg keeps input
+    // order via ORDER BY p; fully-duplicated docs coalesce to '')
+    "x68_span_rewrite" ->
+      s"""WITH $repeatedSpanCtes,
+         |tp AS (
+         | SELECT doc_id,
+         |  unnest([{'p': i, 'w': toks[i]} FOR i IN range(1, len(toks)+1)],
+         |         recursive := true)
+         | FROM tok),
+         |marked AS (
+         | SELECT t.doc_id, t.p, t.w,
+         |  NOT EXISTS (SELECT 1 FROM spans s
+         |              WHERE s.doc_id = t.doc_id
+         |                AND t.p BETWEEN s.span_start AND s.span_end) AS keep
+         | FROM tp t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         | CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         | COALESCE(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY p), '') AS rewritten
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x69: integer basis points end to end (// ≡ Spark DIV), domain =
+    // the x43 synthetic host, keep iff domain mean >= corpus mean
+    "x69_domain_quality" ->
+      """WITH scored AS (
+        | SELECT doc_id,
+        |  ['example','news','tracker','cdn-ads','blog','wiki','shop'][CAST(doc_id % 7 AS INT) + 1]
+        |   || '.' || ['com','org','net'][CAST(doc_id % 3 AS INT) + 1] AS domain,
+        |  CASE WHEN length(text) > 0
+        |       THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+        |            * 10000 // length(text)
+        |       ELSE 0 END AS alpha_bp
+        | FROM documents),
+        |d AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |      CAST(sum(alpha_bp) // count(*) AS BIGINT) AS domain_alpha_bp
+        |      FROM scored GROUP BY domain),
+        |o AS (SELECT CAST(sum(alpha_bp) // count(*) AS BIGINT) AS corpus_alpha_bp FROM scored)
+        |SELECT s.doc_id, s.domain, s.alpha_bp, d.domain_alpha_bp, d.n_docs,
+        | CAST(CASE WHEN d.domain_alpha_bp >= o.corpus_alpha_bp THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM scored s JOIN d USING (domain) CROSS JOIN o
+        |ORDER BY s.doc_id""".stripMargin,
+    // x70: identical operand order as the Spark expression (float parity
+    // via ln + round-4-before-rank, the x21 convention); the oracle's
+    // single window equals the engine's two-level salted top-k because
+    // the global top-k survives every salt partition's local top-k
+    "x70_bm25" ->
+      s"""WITH w AS (
+         | SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM w WHERE term <> '' GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sl FROM dl),
+         |q AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+         |      GROUP BY term ORDER BY sum(tf) DESC, term LIMIT 5),
+         |sc AS (SELECT t.term, t.doc_id, t.tf,
+         |  round(ln((st.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+         |        * (t.tf * 2.2)
+         |        / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / (st.sl * 1.0 / st.n))), 4) AS score
+         |  FROM tf t JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+         |r AS (SELECT term, doc_id, tf, score,
+         |      row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+         |      FROM sc)
+         |SELECT term, CAST(rank AS BIGINT) AS rank, doc_id, tf, score
+         |FROM r WHERE rank <= 10 ORDER BY term, rank""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

@@ -2659,6 +2659,133 @@ object TrainingOps {
       .select("src", "dst").distinct()
   }
 
+  /** Span-dedup REWRITE — the final step of Lee et al. 2022 substring
+    * dedup, closing the family: detection (x48 repeatedSpans) →
+    * reporting (x63 dupTokenStats) → rewrite (here). Every maximal
+    * duplicated token run is CUT from the document's normalized token
+    * stream; every document gets a decided row (span-free docs keep
+    * everything, fully-duplicated docs rewrite to the empty string —
+    * both auditable). Scale shape: the span table collapses to ONE
+    * bounded per-doc array (a doc's spans are bounded by its own token
+    * count), re-enters by a doc_id equi-join, and the cut itself is a
+    * single narrow higher-order projection — no explode, no token-level
+    * row set, no shuffle beyond the span join and the presentation
+    * sort (which a 100 TB sink drops). */
+  def spanDedupRewrite(docs: DataFrame, n: Int = 13): DataFrame = {
+    val spanList = repeatedSpans(docs, n)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val toks = docs.select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+    toks.join(spanList, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .withColumn("keep_idx",
+        filter(sequence(lit(1), size(col("toks"))),
+          i => !exists(col("spans"),
+            s => i >= s.getField("span_start") && i <= s.getField("span_end"))))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        (size(col("toks")) - size(col("keep_idx"))).cast(LongType).as("n_removed"),
+        array_join(transform(col("keep_idx"),
+          i => element_at(col("toks"), i)), " ").as("rewritten"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain-level quality curation — the RefinedWeb-style regime that
+    * drops whole low-quality HOSTS rather than individual pages (page
+    * scores are noisy; host means are stable). Per-doc quality =
+    * alphabetic chars per 10k chars in INTEGER basis points; the
+    * domain (the x43 synthetic URL convention — testdata carries no
+    * URLs) aggregates sum DIV count, and a document keeps iff its
+    * domain's mean clears the CORPUS mean — the threshold is in-plan
+    * (one-row broadcast, the x45 convention), never a driver collect.
+    * Integer arithmetic end to end, so means are bit-portable. Scale
+    * shape: one map-side projection, one bounded aggregation (domains
+    * ≪ docs), the domain table re-enters by broadcast. */
+  def domainQuality(docs: DataFrame): DataFrame = {
+    val hosts = Seq("example", "news", "tracker", "cdn-ads", "blog", "wiki", "shop")
+    val tlds = Seq("com", "org", "net")
+    val domain = concat(
+      element_at(typedLit(hosts), (pmod(col("doc_id"), lit(hosts.length)) + 1).cast("int")),
+      lit("."),
+      element_at(typedLit(tlds), (pmod(col("doc_id"), lit(tlds.length)) + 1).cast("int")))
+    val scored = docs.select(col("doc_id"), domain.as("domain"),
+      when(length(col("text")) > 0,
+        expr("CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT)" +
+          " * 10000 DIV length(text)"))
+        .otherwise(0L).as("alpha_bp"))
+    val dstats = scored.groupBy("domain").agg(
+      count(lit(1)).as("n_docs"),
+      expr("sum(alpha_bp) DIV count(1)").as("domain_alpha_bp"))
+    val overall = scored.agg(
+      expr("sum(alpha_bp) DIV count(1)").as("corpus_alpha_bp"))
+    scored.join(broadcast(dstats), Seq("domain"))
+      .crossJoin(broadcast(overall))
+      .select(col("doc_id"), col("domain"), col("alpha_bp"),
+        col("domain_alpha_bp"), col("n_docs"),
+        when(col("domain_alpha_bp") >= col("corpus_alpha_bp"), 1L)
+          .otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 top-k retrieval scoring (Robertson/Spärck Jones; the Lucene
+    * idf variant ln((N-df+0.5)/(df+0.5)+1)) — the retrieval-side
+    * consumer of the x60 index statistics, and the scorer dedup/quality
+    * pipelines use to find near-matches of benchmark queries. Query
+    * terms are the corpus's own top-`nQueries` terms by (tf desc, term
+    * asc) — the x65 deterministic-vocabulary convention (no external
+    * query set ships here). Scores are rounded to 4 decimals BEFORE
+    * ranking (the x21 portable-ties lesson), ties broken by doc_id.
+    * Scale shape: the (term, doc) tf table is reduced once and persisted
+    * (it feeds df, doc lengths and the scores), N/avg-length ride
+    * in-plan as a one-row broadcast, the query table is nQueries rows
+    * (TakeOrderedAndProject + broadcast), and top-k per term is
+    * TWO-LEVEL — a salted per-(term, doc_id mod 32) partial top-k, then
+    * the final top-k over the ≤32·k survivors — so a query term
+    * matching 10^9 documents never funnels them through one rank
+    * partition (the global top-k provably survives every salt
+    * partition's local top-k). */
+  def bm25TopDocs(docs: DataFrame, nQueries: Int = 5, topK: Int = 10): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("sl"))
+      val q = tf.groupBy("term")
+        .agg(sum("tf").as("cnt"), count(lit(1)).as("df"))
+        .orderBy(desc("cnt"), asc("term")).limit(nQueries)
+        .select("term", "df")
+      // operand order mirrors the oracle SQL exactly — float parity
+      // depends on it (the x21/x42 ln+round(4) convention)
+      val score = round(
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl") / (col("sl") * lit(1.0) / col("n")))), 4)
+      val scored = tf.join(broadcast(q), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(st))
+        .select(col("term"), col("doc_id"), col("tf"), score.as("score"))
+      val partial = Window
+        .partitionBy(col("term"), pmod(col("doc_id"), lit(32L)))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val survivors = scored
+        .withColumn("prn", row_number().over(partial))
+        .filter(col("prn") <= topK).drop("prn")
+      val fin = Window.partitionBy("term")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      survivors
+        .withColumn("rank", row_number().over(fin).cast(LongType))
+        .filter(col("rank") <= topK)
+        .select("term", "rank", "doc_id", "tf", "score")
+        .orderBy("term", "rank")
+        .localCheckpoint(true)
+    } finally tf.unpersist()
+  }
+
   /** Deterministic synthetic link graph at BENCH scale — `n` nodes,
     * ~`outDeg`·n edges (self-loops and duplicates removed), from the
     * same quadratic/affine map family as [[docLinkEdges]] (quadratic

@@ -1634,6 +1634,96 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == ((20L, 0L, 0L, 0L)))
   }
 
+  // --- span-dedup rewrite (x68) -------------------------------------------
+
+  test("spanDedupRewrite cuts exactly the x48 spans; untouched docs pass through") {
+    val ss = spark
+    import ss.implicits._
+    val run = (1 to 16).map(i => s"copy$i")
+    val a = ((1 to 10).map(i => s"a$i") ++ run ++ (1 to 4).map(i => s"z$i")).mkString(" ")
+    val b = ((1 to 5).map(i => s"b$i") ++ run ++ (1 to 9).map(i => s"y$i")).mkString(" ")
+    val docs = Seq(1L -> a, 2L -> b,
+      3L -> "too short for any window",
+      4L -> (1 to 20).map(i => s"u$i").mkString(" ")).toDF("doc_id", "text")
+    val got = TrainingOps.spanDedupRewrite(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 holds the FIRST occurrence — nothing cut
+    assert(got(1L) == ((30L, 0L, a)))
+    // doc 2 loses exactly the 16 copied tokens (positions 6-21)
+    val bKept = ((1 to 5).map(i => s"b$i") ++ (1 to 9).map(i => s"y$i")).mkString(" ")
+    assert(got(2L) == ((30L, 16L, bKept)))
+    assert(got(3L) == ((5L, 0L, "too short for any window")))
+    assert(got(4L)._2 == 0L)
+  }
+
+  test("spanDedupRewrite rewrites a fully-duplicated doc to the empty string") {
+    val ss = spark
+    import ss.implicits._
+    val body = (1 to 13).map(i => s"t$i").mkString(" ") // exactly one window
+    val docs = Seq(1L -> body, 2L -> body).toDF("doc_id", "text")
+    val got = TrainingOps.spanDedupRewrite(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((13L, 0L, body)))
+    assert(got(2L) == ((13L, 13L, "")), "fully-duplicated doc must rewrite to empty")
+  }
+
+  // --- domain-level quality curation (x69) ----------------------------------
+
+  test("domainQuality keeps domains whose integer mean clears the corpus mean") {
+    val ss = spark
+    import ss.implicits._
+    // doc 0 -> example.com, doc 1 -> news.org, doc 2 -> tracker.net
+    val docs = Seq(0L -> "abcdef", 1L -> "a1", 2L -> "123456").toDF("doc_id", "text")
+    val got = TrainingOps.domainQuality(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    // alpha bp: 10000 / 5000 / 0; corpus mean = 15000 DIV 3 = 5000
+    assert(got(0L) == (("example.com", 10000L, 10000L, 1L)))
+    assert(got(1L) == (("news.org", 5000L, 5000L, 1L)))
+    assert(got(2L) == (("tracker.net", 0L, 0L, 0L)))
+  }
+
+  // --- BM25 retrieval scoring (x70) ------------------------------------------
+
+  test("bm25TopDocs matches a JVM recompute; two-level top-k equals the plain ranking") {
+    val ss = spark
+    import ss.implicits._
+    val corpus = Seq(
+      1L -> "alpha beta gamma alpha alpha",
+      2L -> "alpha beta beta",
+      3L -> "gamma gamma gamma delta epsilon zeta eta theta",
+      4L -> "beta",
+      5L -> "alpha delta delta beta gamma")
+    val docs = corpus.toDF("doc_id", "text")
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // JVM recompute of the whole pipeline
+    val tf = corpus.flatMap { case (id, t) =>
+      t.split(" ").groupBy(identity).map { case (w, xs) => (id, w, xs.length.toLong) }
+    }
+    val dl = tf.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._3).sum }
+    val n = dl.size.toLong
+    val sl = dl.values.sum
+    val byTerm = tf.groupBy(_._2)
+    val q = byTerm.toSeq
+      .map { case (w, xs) => (w, xs.map(_._3).sum, xs.size.toLong) }
+      .sortBy { case (w, cnt, _) => (-cnt, w) }.take(5)
+    val expected = q.flatMap { case (w, _, df) =>
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      byTerm(w).toSeq
+        .map { case (id, _, t) =>
+          (id, t, round4(idf * (t * 2.2) /
+            (t + 1.2 * (0.25 + 0.75 * dl(id) / (sl * 1.0 / n)))))
+        }
+        .sortBy { case (id, _, s) => (-s, id) }
+        .zipWithIndex.take(10)
+        .map { case ((id, t, s), i) => (w, (i + 1).toLong, id, t, s) }
+    }.toSet
+    val got = TrainingOps.bm25TopDocs(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   // --- exact-dup pre-collapse before the band joins (VERDICT r04 next #5) ----
 
   test("x13 pre-collapse: 1000 identical docs give LINEAR band candidates, full quadratic output") {
