@@ -561,6 +561,14 @@ object SparkEntry {
     // two-level salted top-k, scores rounded before ranking
     "x70_bm25" -> ((s, dir) =>
       TrainingOps.bm25TopDocs(s.read.parquet(t(dir, "documents")))),
+    // the exact-dup pre-collapse table itself (fingerprint, rep, size),
+    // the once-materialized input every band-join pass reuses
+    "x71_exact_groups" -> ((s, dir) =>
+      TrainingOps.exactDupMembership(s.read.parquet(t(dir, "documents")))),
+    // band-bucket occupancy histogram: the band join's cost model
+    // (candidates = sum over buckets of size*(size-1)/2)
+    "x72_band_occupancy" -> ((s, dir) =>
+      TrainingOps.bandOccupancy(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1017,6 +1025,29 @@ object SparkEntry {
 
   /** Shared CTE chain for the x13/x14 near-dup family: 9-gram shingles,
     * 8-perm minhash, 4-row bands, exact Jaccard on candidates. */
+  /** x72 oracle: the x13 minhash/band construction (Jac hash family,
+    * 9-gram shingles, 2×4-row bands) over ONE representative per
+    * exact-dup group, bucket sizes histogrammed per band. */
+  private def bandOccupancyOracleSql: String = {
+    val mh = (0 until 8).map { i =>
+      val a = TrainingOps.JacA(i); val b = TrainingOps.JacB(i); val p = TrainingOps.JacP
+      s"list_min([($shingleHashSql * $a + $b) % $p FOR sh IN list_distinct(${shinglesKSql("n", 9)})]) AS m$i"
+    }.mkString(",\n  ")
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS n FROM documents),
+       |rep AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(n)),
+       |base AS (SELECT nrm.doc_id, n FROM nrm JOIN rep USING (doc_id)),
+       |sigs AS (SELECT doc_id, $mh FROM base),
+       |bands AS (
+       | SELECT doc_id, 0 AS band, m0 || ':' || m1 || ':' || m2 || ':' || m3 AS key FROM sigs
+       | UNION ALL
+       | SELECT doc_id, 1 AS band, m4 || ':' || m5 || ':' || m6 || ':' || m7 AS key FROM sigs),
+       |occ AS (SELECT band, key, CAST(count(*) AS BIGINT) AS bucket_size
+       |        FROM bands GROUP BY band, key)
+       |SELECT CAST(band AS BIGINT) AS band, bucket_size,
+       | CAST(count(*) AS BIGINT) AS n_buckets
+       |FROM occ GROUP BY band, bucket_size ORDER BY band, bucket_size""".stripMargin
+  }
+
   private def jaccardCoreCtes: String = {
     val mh = (0 until 8).map { i =>
       val a = TrainingOps.JacA(i); val b = TrainingOps.JacB(i); val p = TrainingOps.JacP
@@ -2183,7 +2214,19 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank
          |      FROM sc)
          |SELECT term, CAST(rank AS BIGINT) AS rank, doc_id, tf, score
-         |FROM r WHERE rank <= 10 ORDER BY term, rank""".stripMargin)
+         |FROM r WHERE rank <= 10 ORDER BY term, rank""".stripMargin,
+    // x71: membership = md5 of the canonical normalization, rep = min
+    // doc_id per fingerprint — the pre-collapse table, driver-oracled
+    "x71_exact_groups" ->
+      s"""WITH mem AS (SELECT doc_id, md5($normSql) AS ek FROM documents),
+         |r AS (SELECT ek, CAST(min(doc_id) AS BIGINT) AS rep_id,
+         |      CAST(count(*) AS BIGINT) AS gsize FROM mem GROUP BY ek)
+         |SELECT doc_id, ek, rep_id, gsize,
+         | CAST(CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+         |FROM mem JOIN r USING (ek) ORDER BY doc_id""".stripMargin,
+    // x72: the x13 band construction over the rep set (min doc_id per
+    // normalized-text md5 group), bucket sizes histogrammed
+    "x72_band_occupancy" -> bandOccupancyOracleSql)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

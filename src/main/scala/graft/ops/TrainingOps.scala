@@ -2728,6 +2728,46 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Exact-duplicate group table — the r5 pre-collapse (in front of
+    * every band join) surfaced as a first-class query: per document its
+    * normalized-text fingerprint, the group representative (min doc_id),
+    * the group size, and whether this doc IS the representative. This is
+    * the table a 100 TB dedup run materializes once and every
+    * minhash/edit/cross-corpus pass reuses. One narrow projection + one
+    * map-side-combinable aggregate + one membership join. */
+  def exactDupMembership(docs: DataFrame): DataFrame = {
+    val (mem, reps) = exactGroups(docs)
+    try mem.join(reps, Seq("ek"))
+      .select(col("doc_id"), col("ek"), col("rep_id"), col("gsize"),
+        when(col("doc_id") === col("rep_id"), 1L).otherwise(0L).as("is_rep"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    finally mem.unpersist()
+  }
+
+  /** Band-bucket occupancy histogram — the dedup-skew telemetry that
+    * tells an operator whether a band join is about to explode: for the
+    * x13 operating point (rep-level 2×4-row minhash bands after the
+    * exact-dup pre-collapse), how many (band, key) buckets hold how many
+    * documents. Candidate pairs are Σ size·(size-1)/2 over these
+    * buckets, so the histogram IS the join's cost model — the honest
+    * counterpart of the x41 df-cap and the q14 candidate-ratio line.
+    * Two map-side-combinable aggregations, no joins past the band
+    * build. */
+  def bandOccupancy(docs: DataFrame, k: Int = 9): DataFrame = {
+    val (mem, reps) = exactGroups(docs)
+    val base = shingleBase(
+      docs.join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id")), k)
+    try bandKeys(base)
+      .groupBy("band", "key").agg(count(lit(1)).as("bucket_size"))
+      .groupBy("band", "bucket_size").agg(count(lit(1)).as("n_buckets"))
+      .select(col("band").cast(LongType).as("band"),
+        col("bucket_size"), col("n_buckets"))
+      .orderBy("band", "bucket_size")
+      .localCheckpoint(true)
+    finally { base.unpersist(); mem.unpersist() }
+  }
+
   /** BM25 top-k retrieval scoring (Robertson/Spärck Jones; the Lucene
     * idf variant ln((N-df+0.5)/(df+0.5)+1)) — the retrieval-side
     * consumer of the x60 index statistics, and the scorer dedup/quality

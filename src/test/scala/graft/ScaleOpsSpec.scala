@@ -1682,6 +1682,36 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == (("tracker.net", 0L, 0L, 0L)))
   }
 
+  // --- exact-dup groups + band occupancy (x71/x72) ----------------------------
+
+  test("exactDupMembership: fingerprint groups, min-id rep, sizes, rep flags") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(1L -> "same text", 2L -> "  SAME   text ", 3L -> "other",
+      4L -> "same text").toDF("doc_id", "text")
+    val got = TrainingOps.exactDupMembership(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // normalization folds case/whitespace: docs 1, 2, 4 are one group
+    assert(got(1L) == ((1L, 3L, 1L)))
+    assert(got(2L) == ((1L, 3L, 0L)))
+    assert(got(4L) == ((1L, 3L, 0L)))
+    assert(got(3L) == ((3L, 1L, 1L)))
+  }
+
+  test("bandOccupancy histograms rep-level buckets; identical docs collapse to one rep") {
+    val ss = spark
+    import ss.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((1L to 200L).map(i => (i, boiler)) :+
+      (900L, "a completely different body of text for the second bucket")).toDF("doc_id", "text")
+    val got = TrainingOps.bandOccupancy(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 2 reps, 2 bands, distinct texts → every bucket holds exactly 1 rep
+    assert(got.toSet == Set((0L, 1L, 2L), (1L, 1L, 2L)), s"got ${got.toSeq}")
+    // total banded rows = reps × bands = 4, NOT 201 × 2
+    assert(got.map(r => r._2 * r._3).sum == 4)
+  }
+
   // --- BM25 retrieval scoring (x70) ------------------------------------------
 
   test("bm25TopDocs matches a JVM recompute; two-level top-k equals the plain ranking") {
