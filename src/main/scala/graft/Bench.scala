@@ -130,7 +130,8 @@ object Bench {
       // round-5: streaming-form CMS build, span-dedup rewrite,
       // domain-level quality curation
       "x67_cms_stream_counters", "x68_span_rewrite", "x69_domain_quality",
-      "x70_bm25", "x71_exact_groups", "x72_band_occupancy")
+      "x70_bm25", "x71_exact_groups", "x72_band_occupancy",
+      "x73_payload_energy")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

@@ -569,6 +569,10 @@ object SparkEntry {
     // (candidates = sum over buckets of size*(size-1)/2)
     "x72_band_occupancy" -> ((s, dir) =>
       TrainingOps.bandOccupancy(s.read.parquet(t(dir, "documents")))),
+    // windowed payload energy: the feature-extract member of the
+    // multimodal family (8 byte-windows, sum + peak per window)
+    "x73_payload_energy" -> ((s, dir) =>
+      TrainingOps.payloadEnergy(s, s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -2226,7 +2230,23 @@ object SparkEntry {
          |FROM mem JOIN r USING (ek) ORDER BY doc_id""".stripMargin,
     // x72: the x13 band construction over the rep set (min doc_id per
     // normalized-text md5 group), bucket sizes histogrammed
-    "x72_band_occupancy" -> bandOccupancyOracleSql)
+    "x72_band_occupancy" -> bandOccupancyOracleSql,
+    // x73: documents are pure ASCII so byte == ascii(char); integer
+    // window bounds (// ≡ Spark's LONG DIV index math)
+    "x73_payload_energy" ->
+      """WITH w AS (
+        | SELECT doc_id, text, length(text) AS n, unnest(range(0, 8)) AS win FROM documents),
+        |b AS (
+        | SELECT doc_id, win,
+        |  CAST(win * n // 8 AS BIGINT) AS w_start,
+        |  CAST((win+1) * n // 8 - win * n // 8 AS BIGINT) AS w_len,
+        |  substr(text, CAST(win * n // 8 AS INT) + 1,
+        |         CAST((win+1) * n // 8 - win * n // 8 AS INT)) AS seg
+        | FROM w)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win, w_start, w_len,
+        | CAST(COALESCE(list_sum([ascii(seg[i]) FOR i IN range(1, length(seg)+1)]), 0) AS BIGINT) AS byte_sum,
+        | CAST(COALESCE(list_max([ascii(seg[i]) FOR i IN range(1, length(seg)+1)]), 0) AS BIGINT) AS byte_max
+        |FROM b ORDER BY doc_id, win""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

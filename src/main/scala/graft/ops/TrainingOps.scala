@@ -958,6 +958,44 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Windowed payload energy — the FEATURE-EXTRACT member of the
+    * multimodal plumbing family (decode x05, frame-sample x35, resize
+    * x55): the opaque binary payload splits into `windows` equal byte
+    * ranges (integer bounds w·n DIV windows, LONG index math — the x55
+    * overflow lesson) and each window reports its byte sum ("RMS
+    * energy" stand-in) and peak byte — the shape of an audio
+    * loudness/VAD feature pass, with the codec-aware transform stubbed
+    * by the deterministic byte reading (the multimodal-decode
+    * convention; the Spark-side plumbing — typed Dataset, partition
+    * batching, fixed fan-out of `windows` rows/doc, no driver collect —
+    * is the real, tested part). Map-only at scale. */
+  def payloadEnergy(spark: SparkSession, docs: DataFrame,
+                    windows: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(windows >= 1)
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = bytes.length
+        (0 until windows).map { w =>
+          val s = (w.toLong * n / windows).toInt
+          val e = ((w + 1).toLong * n / windows).toInt
+          var sum = 0L
+          var mx = 0L
+          var i = s
+          while (i < e) {
+            val v = (bytes(i) & 0xff).toLong
+            sum += v
+            if (v > mx) mx = v
+            i += 1
+          }
+          (id, w.toLong, s.toLong, (e - s).toLong, sum, mx)
+        }
+      }
+      .toDF("doc_id", "win", "w_start", "w_len", "byte_sum", "byte_max")
+      .orderBy("doc_id", "win")
+  }
+
   /** Multimodal resize plumbing — the missing member of the
     * decode (x05) / frame-sample (x35) family: nearest-neighbor
     * re-sampling of the opaque binary payload to a fixed `target`

@@ -1682,6 +1682,26 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == (("tracker.net", 0L, 0L, 0L)))
   }
 
+  // --- windowed payload energy (x73) ------------------------------------------
+
+  test("payloadEnergy: BYTE windows (not chars) with integer bounds; empty payload decided") {
+    val ss = spark
+    import ss.implicits._
+    // "ABCDEFGH" → 8 windows of 1 byte each; "é" is TWO UTF-8 bytes
+    // (0xC3 0xA9 = 195+169) — byte semantics, the x55 pin one op over
+    val docs = Seq(1L -> "ABCDEFGH", 2L -> "é", 3L -> "").toDF("doc_id", "text")
+    val got = TrainingOps.payloadEnergy(ss, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for (w <- 0 until 8)
+      assert(got((1L, w.toLong)) == ((w.toLong, 1L, ('A' + w).toLong, ('A' + w).toLong)))
+    // 2 bytes over 8 windows: bounds w*2/8 — bytes land in windows 3 (0xC3) and 7 (0xA9)
+    assert(got((2L, 3L)) == ((0L, 1L, 195L, 195L)), s"got ${got((2L, 3L))}")
+    assert(got((2L, 7L)) == ((1L, 1L, 169L, 169L)), s"got ${got((2L, 7L))}")
+    assert(got((2L, 0L)) == ((0L, 0L, 0L, 0L)))
+    for (w <- 0 until 8) assert(got((3L, w.toLong)) == ((0L, 0L, 0L, 0L)))
+  }
+
   // --- exact-dup groups + band occupancy (x71/x72) ----------------------------
 
   test("exactDupMembership: fingerprint groups, min-id rep, sizes, rep flags") {
