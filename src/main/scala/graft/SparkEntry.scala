@@ -1033,10 +1033,7 @@ object SparkEntry {
     * 9-gram shingles, 2×4-row bands) over ONE representative per
     * exact-dup group, bucket sizes histogrammed per band. */
   private def bandOccupancyOracleSql: String = {
-    val mh = (0 until 8).map { i =>
-      val a = TrainingOps.JacA(i); val b = TrainingOps.JacB(i); val p = TrainingOps.JacP
-      s"list_min([($shingleHashSql * $a + $b) % $p FOR sh IN list_distinct(${shinglesKSql("n", 9)})]) AS m$i"
-    }.mkString(",\n  ")
+    val mh = jacMhColsSql
     s"""WITH nrm AS (SELECT doc_id, $normSql AS n FROM documents),
        |rep AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(n)),
        |base AS (SELECT nrm.doc_id, n FROM nrm JOIN rep USING (doc_id)),
@@ -1052,11 +1049,19 @@ object SparkEntry {
        |FROM occ GROUP BY band, bucket_size ORDER BY band, bucket_size""".stripMargin
   }
 
-  private def jaccardCoreCtes: String = {
-    val mh = (0 until 8).map { i =>
+  /** The 8 x13-family minhash columns (Jac hash family, 9-gram
+    * shingles) over a CTE exposing the normalized text as `n` — the
+    * ONE source for every oracle that must mirror bandKeys (x13, x59,
+    * x64, x72); editing the hash family or band layout in one place
+    * keeps all four oracles synchronized with the engine. */
+  private def jacMhColsSql: String =
+    (0 until 8).map { i =>
       val a = TrainingOps.JacA(i); val b = TrainingOps.JacB(i); val p = TrainingOps.JacP
       s"list_min([($shingleHashSql * $a + $b) % $p FOR sh IN list_distinct(${shinglesKSql("n", 9)})]) AS m$i"
     }.mkString(",\n  ")
+
+  private def jaccardCoreCtes: String = {
+    val mh = jacMhColsSql
     s"""sigs AS (
        | SELECT doc_id, $mh
        | FROM (SELECT doc_id, $normSql AS n FROM documents)),
@@ -1115,10 +1120,7 @@ object SparkEntry {
     * over an arbitrary source CTE with a name suffix — the x64
     * cross-corpus oracle stamps it twice (corpus + reference). */
   private def mhBandCtes(src: String, sfx: String): String = {
-    val mh = (0 until 8).map { i =>
-      val a = TrainingOps.JacA(i); val b = TrainingOps.JacB(i); val p = TrainingOps.JacP
-      s"list_min([($shingleHashSql * $a + $b) % $p FOR sh IN list_distinct(${shinglesKSql("n", 9)})]) AS m$i"
-    }.mkString(",\n  ")
+    val mh = jacMhColsSql
     s"""sigs$sfx AS (
        | SELECT doc_id, $mh
        | FROM (SELECT doc_id, $normSql AS n FROM $src)),
@@ -1164,10 +1166,7 @@ object SparkEntry {
   /** Edit-distance near-dup oracle — the x13 band-candidate CTEs with a
     * Levenshtein verify instead of the exact-Jaccard verify. */
   private def editNearDupOracleSql: String = {
-    val mh = (0 until 8).map { i =>
-      val a = TrainingOps.JacA(i); val b = TrainingOps.JacB(i); val p = TrainingOps.JacP
-      s"list_min([($shingleHashSql * $a + $b) % $p FOR sh IN list_distinct(${shinglesKSql("n", 9)})]) AS m$i"
-    }.mkString(",\n  ")
+    val mh = jacMhColsSql
     s"""WITH nrm AS (SELECT doc_id, $normSql AS n FROM documents
        |             WHERE $normSql <> ''),
        |sigs AS (SELECT doc_id, $mh FROM nrm),
@@ -2172,7 +2171,8 @@ object SparkEntry {
          |              WHERE s.doc_id = t.doc_id
          |                AND t.p BETWEEN s.span_start AND s.span_end) AS keep
          | FROM tp t)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |SELECT doc_id,
+         | CAST(sum(CASE WHEN w <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens,
          | CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
          | COALESCE(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY p), '') AS rewritten
          |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,

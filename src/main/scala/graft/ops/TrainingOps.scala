@@ -215,8 +215,12 @@ object TrainingOps {
         greatest(col("ma"), col("mb")).as("id_b") +: carry.map(col): _*)
   }
 
-  private[graft] def jaccardNearDupPairsPlan(
-      docs: DataFrame, threshold: Double = 0.8, k: Int = 9): (DataFrame, Seq[DataFrame]) = {
+  /** Rep-level band candidates + the tables behind them — ONE
+    * construction shared by the x13 plan and the candidate-count
+    * telemetry, so the "pre-collapse keeps candidates linear" spec
+    * measures exactly the join that ships. */
+  private def repBandCandidates(docs: DataFrame, k: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (mem, reps) = exactGroups(docs)
     val repDocs = docs.join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"))
     val base = shingleBase(repDocs, k)
@@ -225,6 +229,12 @@ object TrainingOps {
       .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    (cands, base, mem, reps)
+  }
+
+  private[graft] def jaccardNearDupPairsPlan(
+      docs: DataFrame, threshold: Double = 0.8, k: Int = 9): (DataFrame, Seq[DataFrame]) = {
+    val (cands, base, mem, reps) = repBandCandidates(docs, k)
     val shingleSets = base.select(col("doc_id"), col("sh"))
     val repPairs = cands
       .join(shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -246,18 +256,14 @@ object TrainingOps {
 
   /** Rep-level band-join candidate count at the x13 operating point —
     * telemetry for the pre-collapse: on m identical docs this is 0
-    * (one rep, no pair), where the round-4 pipeline generated m²/2. */
+    * (one rep, no pair), where the round-4 pipeline generated m²/2.
+    * Counts the SAME candidate frame the x13 plan consumes
+    * ([[repBandCandidates]]), so the linear-candidates spec measures
+    * the shipped join, not a parallel reconstruction. */
   private[graft] def jaccardBandCandidateCount(docs: DataFrame, k: Int = 9): Long = {
-    val (mem, reps) = exactGroups(docs)
-    val repDocs = docs.join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"))
-    val base = shingleBase(repDocs, k)
-    try {
-      val bands = bandKeys(base)
-      bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
-        .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")), Seq("band", "key"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct().count()
-    } finally { base.unpersist(); mem.unpersist() }
+    val (cands, base, mem, _) = repBandCandidates(docs, k)
+    try cands.count()
+    finally { base.unpersist(); mem.unpersist() }
   }
 
   /** Duplicate components: connected components over the near-dup pair
@@ -2722,7 +2728,10 @@ object TrainingOps {
           i => !exists(col("spans"),
             s => i >= s.getField("span_start") && i <= s.getField("span_end"))))
       .select(col("doc_id"),
-        size(col("toks")).cast(LongType).as("n_tokens"),
+        // count non-empty tokens: split("") yields [""], which x63
+        // dupTokenStats (and every token-count op here) reports as 0 —
+        // keep the shared n_tokens metric consistent across the family
+        size(filter(col("toks"), t => t =!= "")).cast(LongType).as("n_tokens"),
         (size(col("toks")) - size(col("keep_idx"))).cast(LongType).as("n_removed"),
         array_join(transform(col("keep_idx"),
           i => element_at(col("toks"), i)), " ").as("rewritten"))

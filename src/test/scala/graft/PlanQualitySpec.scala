@@ -174,8 +174,9 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p.contains("InMemoryTableScan"),
         s"the exploded line table must persist once and feed both the " +
           s"aggregate and the join-back:\n$p")
-      assert(p.contains("partial_min") || p.contains("partial_"),
-        s"expected map-side partial aggregation on the line key:\n$p")
+      // same tightening as the x48 pin: require the min itself
+      assert(p.contains("partial_min"),
+        s"expected a partial_min (map-side combinable) on the line key:\n$p")
     } finally lines.unpersist()
   }
 
@@ -189,8 +190,10 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = df.queryExecution.executedPlan.toString()
     assert(!p.contains("Window"),
       s"x48 first-occurrence selection must not use a window:\n$p")
-    assert(p.contains("partial_min") || p.contains("partial_"),
-      s"expected map-side partial aggregation on the gram key:\n$p")
+    // specifically the map-side-combinable MIN — an || partial_ fallback
+    // would be satisfied by any unrelated partial aggregate in the plan
+    assert(p.contains("partial_min"),
+      s"expected a partial_min (map-side combinable) on the gram key:\n$p")
   }
 
   test("x59: edit-distance pipeline reads the cached text table, equi-joins only") {
