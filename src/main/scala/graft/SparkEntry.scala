@@ -573,6 +573,12 @@ object SparkEntry {
     // multimodal family (8 byte-windows, sum + peak per window)
     "x73_payload_energy" -> ((s, dir) =>
       TrainingOps.payloadEnergy(s, s.read.parquet(t(dir, "documents")))),
+    // one-row corpus datasheet (docs, dups, tokens, terms, quality)
+    "x74_corpus_datasheet" -> ((s, dir) =>
+      TrainingOps.corpusDatasheet(s.read.parquet(t(dir, "documents")))),
+    // per-source mixture report (docs/tokens/share-bp/quality by source)
+    "x75_source_mix" -> ((s, dir) =>
+      TrainingOps.sourceMixture(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -2246,7 +2252,50 @@ object SparkEntry {
         |SELECT doc_id, CAST(win AS BIGINT) AS win, w_start, w_len,
         | CAST(COALESCE(list_sum([ascii(seg[i]) FOR i IN range(1, length(seg)+1)]), 0) AS BIGINT) AS byte_sum,
         | CAST(COALESCE(list_max([ascii(seg[i]) FOR i IN range(1, length(seg)+1)]), 0) AS BIGINT) AS byte_max
-        |FROM b ORDER BY doc_id, win""".stripMargin)
+        |FROM b ORDER BY doc_id, win""".stripMargin,
+    // x74: one-row datasheet; every mean is an integer DIV
+    "x74_corpus_datasheet" ->
+      s"""WITH pd AS (
+         | SELECT doc_id, md5($normSql) AS fp,
+         |  CAST(len(list_filter(string_split($normSql, ' '), t -> t <> '')) AS BIGINT) AS n_toks,
+         |  CASE WHEN length(text) > 0
+         |       THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+         |            * 10000 // length(text) ELSE 0 END AS alpha_bp
+         | FROM documents),
+         |core AS (
+         | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dup_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_toks) // count(*) AS BIGINT) AS mean_doc_tokens,
+         |  CAST(sum(alpha_bp) // count(*) AS BIGINT) AS mean_alpha_bp
+         | FROM pd),
+         |terms AS (
+         | SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_distinct_terms
+         | FROM (SELECT unnest(string_split($normSql, ' ')) AS term FROM documents)
+         | WHERE term <> '')
+         |SELECT n_docs, n_exact_dup_docs, n_tokens, mean_doc_tokens,
+         | mean_alpha_bp, n_distinct_terms
+         |FROM core CROSS JOIN terms""".stripMargin,
+    // x75: per-source rollup; share in integer basis points of the
+    // corpus token total (cross-joined one-row frame, // ≡ DIV)
+    "x75_source_mix" ->
+      s"""WITH pd AS (
+         | SELECT source,
+         |  CAST(len(list_filter(string_split($normSql, ' '), t -> t <> '')) AS BIGINT) AS n_toks,
+         |  CASE WHEN length(text) > 0
+         |       THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+         |            * 10000 // length(text) ELSE 0 END AS alpha_bp
+         | FROM documents),
+         |s AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(alpha_bp) // count(*) AS BIGINT) AS mean_alpha_bp
+         | FROM pd GROUP BY source),
+         |tt AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total_tokens FROM pd)
+         |SELECT source, n_docs, n_tokens,
+         | CAST(n_tokens * 10000 // total_tokens AS BIGINT) AS token_share_bp,
+         | mean_alpha_bp
+         |FROM s CROSS JOIN tt ORDER BY source""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

@@ -2815,6 +2815,65 @@ object TrainingOps {
     finally { base.unpersist(); mem.unpersist() }
   }
 
+  /** Corpus datasheet — the one-row "datasheet for datasets" card
+    * (Gebru et al. 2021) a curation pipeline publishes with a release:
+    * document count, exact-duplicate count (docs minus distinct
+    * normalized fingerprints), token totals, distinct-term count, and
+    * integer-bp quality/length means. All counts ride in ONE pass over
+    * a per-doc projection plus a distinct-term aggregate, joined as
+    * one-row frames (in-plan, the x45 convention — no driver collect).
+    * Integer DIV arithmetic end to end. */
+  def corpusDatasheet(docs: DataFrame): DataFrame = {
+    val toks = split(normText(col("text")), " ")
+    val perDoc = docs.select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("fp"),
+      size(filter(toks, t => t =!= "")).cast(LongType).as("n_toks"),
+      when(length(col("text")) > 0,
+        expr("CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT)" +
+          " * 10000 DIV length(text)")).otherwise(0L).as("alpha_bp"))
+    val core = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dup_docs"),
+      sum("n_toks").as("n_tokens"),
+      expr("sum(n_toks) DIV count(1)").as("mean_doc_tokens"),
+      expr("sum(alpha_bp) DIV count(1)").as("mean_alpha_bp"))
+    val terms = docs
+      .select(explode(split(normText(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .agg(countDistinct(col("term")).as("n_distinct_terms"))
+    core.crossJoin(broadcast(terms))
+      .select("n_docs", "n_exact_dup_docs", "n_tokens", "mean_doc_tokens",
+        "mean_alpha_bp", "n_distinct_terms")
+  }
+
+  /** Per-source mixture report — the "data card by source" table: how
+    * many documents and tokens each source contributes, its token
+    * share of the corpus in integer basis points (total rides in-plan
+    * as a one-row broadcast), and its mean quality. The grain between
+    * the one-row datasheet (x74) and per-doc signals; the table a
+    * mixture-sampling stage (x51) reads its budgets against. One
+    * bounded aggregation (sources ≪ docs). */
+  def sourceMixture(docs: DataFrame): DataFrame = {
+    val toks = split(normText(col("text")), " ")
+    val perDoc = docs.select(
+      col("source"),
+      size(filter(toks, t => t =!= "")).cast(LongType).as("n_toks"),
+      when(length(col("text")) > 0,
+        expr("CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT)" +
+          " * 10000 DIV length(text)")).otherwise(0L).as("alpha_bp"))
+    val bySource = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_toks").as("n_tokens"),
+      expr("sum(alpha_bp) DIV count(1)").as("mean_alpha_bp"))
+    val total = perDoc.agg(sum("n_toks").as("total_tokens"))
+    bySource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 10000 DIV total_tokens").as("token_share_bp"),
+        col("mean_alpha_bp"))
+      .orderBy("source")
+  }
+
   /** BM25 top-k retrieval scoring (Robertson/Spärck Jones; the Lucene
     * idf variant ln((N-df+0.5)/(df+0.5)+1)) — the retrieval-side
     * consumer of the x60 index statistics, and the scorer dedup/quality

@@ -1682,6 +1682,42 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == (("tracker.net", 0L, 0L, 0L)))
   }
 
+  // --- corpus datasheet + source mixture (x74/x75) ----------------------------
+
+  test("corpusDatasheet: one row of integer-DIV corpus stats incl. exact-dup count") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(1L -> "Hello world", 2L -> "hello   WORLD", 3L -> "abc 123")
+      .toDF("doc_id", "text")
+    val r = TrainingOps.corpusDatasheet(docs).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == 3L) // n_docs
+    assert(row.getLong(1) == 1L, "docs 1 and 2 normalize identically") // dups
+    assert(row.getLong(2) == 6L) // n_tokens
+    assert(row.getLong(3) == 2L) // mean_doc_tokens
+    // alpha bp: 10*10000 DIV 11 + 10*10000 DIV 13 + 3*10000 DIV 7, DIV 3
+    val expBp = (10L * 10000 / 11 + 10L * 10000 / 13 + 3L * 10000 / 7) / 3
+    assert(row.getLong(4) == expBp, s"mean_alpha_bp ${row.getLong(4)} != $expBp")
+    assert(row.getLong(5) == 4L) // hello, world, abc, 123
+  }
+
+  test("sourceMixture: per-source rollup with integer token shares vs the corpus total") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "one two three four", "web"),
+      (2L, "five six", "web"),
+      (3L, "seven eight nine ten", "books")).toDF("doc_id", "text", "source")
+    val got = TrainingOps.sourceMixture(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("web")._1 == 2L && got("web")._2 == 6L && got("web")._3 == 6000L)
+    assert(got("books")._1 == 1L && got("books")._2 == 4L && got("books")._3 == 4000L)
+    val webBp = (15L * 10000 / 18 + 7L * 10000 / 8) / 2
+    assert(got("web")._4 == webBp, s"web mean_alpha_bp ${got("web")._4} != $webBp")
+    assert(got("books")._4 == 17L * 10000 / 20)
+  }
+
   // --- windowed payload energy (x73) ------------------------------------------
 
   test("payloadEnergy: BYTE windows (not chars) with integer bounds; empty payload decided") {
