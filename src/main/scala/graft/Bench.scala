@@ -131,7 +131,10 @@ object Bench {
       // domain-level quality curation
       "x67_cms_stream_counters", "x68_span_rewrite", "x69_domain_quality",
       "x70_bm25", "x71_exact_groups", "x72_band_occupancy",
-      "x73_payload_energy", "x74_corpus_datasheet", "x75_source_mix")
+      "x73_payload_energy", "x74_corpus_datasheet", "x75_source_mix",
+      // round-5: corpus-health diagnostics (Zipf fit, PMI collocations,
+      // per-source lexical richness)
+      "x76_zipf_fit", "x77_pmi_bigrams", "x78_lexical_richness")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

@@ -579,6 +579,15 @@ object SparkEntry {
     // per-source mixture report (docs/tokens/share-bp/quality by source)
     "x75_source_mix" -> ((s, dir) =>
       TrainingOps.sourceMixture(s.read.parquet(t(dir, "documents")))),
+    // Zipf's-law fit over the top-V vocabulary (integer least squares)
+    "x76_zipf_fit" -> ((s, dir) =>
+      TrainingOps.zipfFit(s.read.parquet(t(dir, "documents")))),
+    // PMI collocations (top-k word pairs, integer-rounded ln terms)
+    "x77_pmi_bigrams" -> ((s, dir) =>
+      TrainingOps.pmiBigrams(s.read.parquet(t(dir, "documents")))),
+    // per-source lexical richness (hapax share, type-token ratio)
+    "x78_lexical_richness" -> ((s, dir) =>
+      TrainingOps.lexicalRichness(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -2295,7 +2304,90 @@ object SparkEntry {
          |SELECT source, n_docs, n_tokens,
          | CAST(n_tokens * 10000 // total_tokens AS BIGINT) AS token_share_bp,
          | mean_alpha_bp
-         |FROM s CROSS JOIN tt ORDER BY source""".stripMargin)
+         |FROM s CROSS JOIN tt ORDER BY source""".stripMargin,
+    // x76: integer fixed-point least squares over (ln rank, ln cnt) of
+    // the top-256 vocabulary; // ≡ Spark DIV (both truncate toward 0)
+    "x76_zipf_fit" ->
+      """WITH w AS (
+        | SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        | FROM documents),
+        |vocab AS (
+        | SELECT term, count(*) AS cnt FROM w WHERE term <> ''
+        | GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 256),
+        |pts AS (
+        | SELECT
+        |  CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS DOUBLE)) * 10000) AS BIGINT) AS x,
+        |  CAST(round(ln(CAST(cnt AS DOUBLE)) * 10000) AS BIGINT) AS y
+        | FROM vocab),
+        |s AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        | FROM pts),
+        |fit AS (
+        | SELECT n_terms, sx, sy,
+        |  CAST(CASE WHEN n_terms * sxx - sx * sx <> 0
+        |       THEN (n_terms * sxy - sx * sy) * 1000 // (n_terms * sxx - sx * sx)
+        |       ELSE 0 END AS BIGINT) AS slope_milli
+        | FROM s)
+        |SELECT n_terms, slope_milli,
+        | CAST(CASE WHEN n_terms > 0
+        |      THEN (sy * 1000 - slope_milli * sx) // (1000 * n_terms)
+        |      ELSE 0 END AS BIGINT) AS intercept_milli
+        |FROM fit""".stripMargin,
+    // x77: PMI as a sum of INDIVIDUALLY-rounded integer ln terms (the
+    // per-value rounding keeps both engines' FP work per-scalar)
+    "x77_pmi_bigrams" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+        | FROM documents),
+        |uni AS (SELECT unnest(toks) AS w FROM d),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |bi AS (
+        | SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+        |  SELECT unnest([struct_pack(w1 := toks[i], w2 := toks[i+1])
+        |                 FOR i IN range(1, len(toks))]) AS b
+        |  FROM d WHERE len(toks) >= 2)),
+        |pairs AS (
+        | SELECT w1, w2, count(*) AS cab FROM bi GROUP BY w1, w2
+        | HAVING count(*) >= 3),
+        |tot AS (
+        | SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_tok,
+        |        (SELECT CAST(count(*) AS BIGINT) FROM bi) AS n_big)
+        |SELECT w1, w2, CAST(cab AS BIGINT) AS cab,
+        | CAST(CAST(round(ln(CAST(cab AS DOUBLE)) * 10000) AS BIGINT)
+        |  - CAST(round(ln(CAST(n_big AS DOUBLE)) * 10000) AS BIGINT)
+        |  + 2 * CAST(round(ln(CAST(n_tok AS DOUBLE)) * 10000) AS BIGINT)
+        |  - CAST(round(ln(CAST(a.c AS DOUBLE)) * 10000) AS BIGINT)
+        |  - CAST(round(ln(CAST(b.c AS DOUBLE)) * 10000) AS BIGINT) AS BIGINT) AS pmi_q4
+        |FROM pairs JOIN uc a ON pairs.w1 = a.w JOIN uc b ON pairs.w2 = b.w
+        |CROSS JOIN tot
+        |ORDER BY pmi_q4 DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin,
+    // x78: per-source hapax/TTR rollup; every source decided (left
+    // join back), both DIVs zero-guarded in both engines
+    "x78_lexical_richness" ->
+      """WITH w AS (
+        | SELECT source, t AS term FROM (
+        |  SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+        |  FROM documents) WHERE t <> ''),
+        |st AS (SELECT source, term, count(*) AS cnt FROM w GROUP BY source, term),
+        |r AS (
+        | SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        | FROM st GROUP BY source)
+        |SELECT s.source,
+        | CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(n_terms, 0) AS BIGINT) AS n_terms,
+        | CAST(coalesce(n_hapax, 0) AS BIGINT) AS n_hapax,
+        | CAST(CASE WHEN coalesce(n_terms, 0) > 0
+        |      THEN n_hapax * 10000 // n_terms ELSE 0 END AS BIGINT) AS hapax_bp,
+        | CAST(CASE WHEN coalesce(n_tokens, 0) > 0
+        |      THEN n_terms * 10000 // n_tokens ELSE 0 END AS BIGINT) AS ttr_bp
+        |FROM (SELECT DISTINCT source FROM documents) s
+        |LEFT JOIN r ON s.source = r.source
+        |ORDER BY s.source""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

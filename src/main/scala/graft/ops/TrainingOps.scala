@@ -3007,4 +3007,124 @@ object TrainingOps {
       r.orderBy("id")
     } finally { nodes.unpersist(); deg.unpersist() }
   }
+
+  /** Zipf's-law fit over the top-V vocabulary — the corpus-health
+    * diagnostic a curation run publishes next to the x74 datasheet: a
+    * natural-language corpus should show ln(freq) ≈ a + s·ln(rank)
+    * with s ≈ −1; a slope far from −1 flags synthetic/boilerplate
+    * contamination (Zipf 1949; Piantadosi 2014 review). The fit is
+    * least squares in INTEGER fixed point so it is bit-portable to the
+    * oracle: x = round(ln rank · 10⁴), y = round(ln cnt · 10⁴) as
+    * BIGINT (the x21/x42 ln+round convention), then
+    * slope_milli = (nΣxy − ΣxΣy)·1000 DIV (nΣxx − (Σx)²) — both
+    * engines truncate integer division toward zero, spec-pinned
+    * against a JVM recompute. Overflow audit at 100 TB: x ≤ 5.6e4,
+    * y ≤ ln(10¹³)·10⁴ ≈ 3e5 → nΣxy ≤ ~1.1e15, ×1000 ≤ 2.2e18 < 2⁶³.
+    * Scale shape: the vocab count partial-aggregates map-side, top-V
+    * is a TakeOrderedAndProject, and the ONLY window runs over that
+    * ≤V-row bounded slice (not data-scale — the one place a global
+    * row_number is legal). */
+  def zipfFit(docs: DataFrame, v: Int = 256): DataFrame = {
+    val words = docs
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+    val top = words.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(v)
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    val pts = top
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .select(
+        round(log(col("rank").cast(DoubleType)) * 10000, 0).cast(LongType).as("x"),
+        round(log(col("cnt").cast(DoubleType)) * 10000, 0).cast(LongType).as("y"))
+    pts
+      .agg(count(lit(1)).as("n_terms"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_terms"),
+        // zero-variance guard: a ≤1-point fit (degenerate corpus) has
+        // denominator 0 — decide slope 0 instead of an ANSI DIV error
+        when(expr("n_terms * sxx - sx * sx") =!= 0L,
+          expr("(n_terms * sxy - sx * sy) * 1000 DIV (n_terms * sxx - sx * sx)"))
+          .otherwise(0L).as("slope_milli"),
+        col("sx"), col("sy"))
+      .withColumn("intercept_milli",
+        when(col("n_terms") > 0,
+          expr("(sy * 1000 - slope_milli * sx) DIV (1000 * n_terms)"))
+          .otherwise(0L))
+      .select("n_terms", "slope_milli", "intercept_milli")
+  }
+
+  /** PMI collocation mining (Church & Hanks 1990) — the phrase-mining
+    * pass a tokenizer-construction pipeline runs to decide which word
+    * pairs deserve merged tokens: pmi(a,b) = ln P(a,b)/(P(a)P(b))
+    * = ln c(a,b) − ln B + 2·ln N − ln c(a) − ln c(b), computed as a
+    * SUM OF INDIVIDUALLY-ROUNDED integer terms (each round(ln·10⁴)
+    * BIGINT) so both engines agree bit-for-bit — rounding once per
+    * factor, not once at the end, keeps the FP work per-value instead
+    * of per-sum-order. Scale shape: bigram and unigram counts both
+    * partial-aggregate map-side; the c(a)/c(b) lookups are
+    * aggregate-to-aggregate equi-joins on the term key (strategy left
+    * to AQE — the bigram side is already distinct so stopword keys are
+    * bounded by vocabulary fan-out, not occurrences); N and B ride as
+    * 1-row broadcasts; top-k is a TakeOrderedAndProject. The min-count
+    * cut runs BEFORE the joins so rare-pair noise never shuffles. */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 3L, topK: Int = 50): DataFrame = {
+    val toksCol = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    val d = docs.select(col("doc_id"), toksCol.as("toks"))
+    val n = size(col("toks"))
+    val uni = d.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = d.filter(n >= 2).select(
+      explode(transform(sequence(lit(1), n - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pairs = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    val totN = uni.agg(sum("c").as("n_tok"))
+    val totB = bi.agg(count(lit(1)).as("n_big"))
+    def q4(c: Column): Column = round(log(c.cast(DoubleType)) * 10000, 0).cast(LongType)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(totN)).crossJoin(broadcast(totB))
+      .select(col("w1"), col("w2"), col("cab"),
+        (q4(col("cab")) - q4(col("n_big")) + lit(2L) * q4(col("n_tok"))
+          - q4(col("ca")) - q4(col("cb"))).as("pmi_q4"))
+      .orderBy(col("pmi_q4").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
+  /** Per-source lexical richness — the vocabulary-health row of the
+    * x75 mixture report: token count, distinct-term count, hapax
+    * count (terms seen exactly once in that source; Baayen 2001 LNRE
+    * vocabulary-growth statistics), hapax share and type-token ratio
+    * in integer basis points. A collapsing TTR or hapax share flags a
+    * template-generated source before it poisons the mixture. Scale
+    * shape: ONE (source, term) aggregate that partial-aggregates
+    * map-side, then a per-source rollup over vocabulary-sized input;
+    * sources with no alphabetic tokens re-enter through the left join
+    * with zeros (the x57 don't-drop-empties lesson) and both DIVs are
+    * zero-guarded in BOTH engines. */
+  def lexicalRichness(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+    val st = words.groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val rolled = st.groupBy("source").agg(
+      sum("cnt").as("n_tokens"),
+      count(lit(1)).as("n_terms"),
+      sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    docs.select("source").distinct()
+      .join(rolled, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+      .withColumn("hapax_bp",
+        when(col("n_terms") > 0, expr("n_hapax * 10000 DIV n_terms")).otherwise(0L))
+      .withColumn("ttr_bp",
+        when(col("n_tokens") > 0, expr("n_terms * 10000 DIV n_tokens")).otherwise(0L))
+      .orderBy("source")
+  }
 }

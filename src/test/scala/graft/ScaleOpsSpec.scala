@@ -1718,6 +1718,93 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("books")._4 == 17L * 10000 / 20)
   }
 
+  // --- Zipf fit + PMI collocations + lexical richness (x76-x78) ---------------
+
+  test("zipfFit: integer least squares matches a JVM recompute, negative slope") {
+    val ss = spark
+    import ss.implicits._
+    // counts: a=8, b=4, c=2, d=1 → ranks 1..4 (cnt desc, term asc)
+    val docs = Seq(
+      1L -> "a a a a a a a a",
+      2L -> "b b b b c c d").toDF("doc_id", "text")
+    val counts = Seq(8L, 4L, 2L, 1L)
+    val pts = counts.zipWithIndex.map { case (c, i) =>
+      (math.round(math.log(i + 1.0) * 10000), math.round(math.log(c.toDouble) * 10000))
+    }
+    val n = pts.size.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    // Scala Long `/` truncates toward zero — the same DIV semantics the
+    // op relies on in BOTH engines (numerator is negative here)
+    val slope = (n * sxy - sx * sy) * 1000 / (n * sxx - sx * sx)
+    val intercept = (sy * 1000 - slope * sx) / (1000 * n)
+    val row = TrainingOps.zipfFit(docs).collect()(0)
+    assert(slope < 0, "a frequency-ranked vocab must fit a negative slope")
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == slope, s"slope_milli ${row.getLong(1)} != $slope")
+    assert(row.getLong(2) == intercept, s"intercept_milli ${row.getLong(2)} != $intercept")
+  }
+
+  test("zipfFit: V cap drops tail terms; degenerate fits decided, not ANSI errors") {
+    val ss = spark
+    import ss.implicits._
+    // z and a tie at 3; V=2 drops c entirely. Flat counts → slope must
+    // be EXACTLY 0 (numerator cancels), intercept = mean y.
+    val docs = Seq(1L -> "z a z a z a c").toDF("doc_id", "text")
+    val y3 = math.round(math.log(3.0) * 10000)
+    val row = TrainingOps.zipfFit(docs, v = 2).collect()(0)
+    assert(row.getLong(0) == 2L)
+    assert(row.getLong(1) == 0L)
+    assert(row.getLong(2) == y3, s"flat-count intercept = mean y, got ${row.getLong(2)}")
+    // V=1 → a single point → zero variance denominator: the guard must
+    // decide slope 0 / intercept = y instead of raising on DIV 0
+    val one = TrainingOps.zipfFit(docs, v = 1).collect()(0)
+    assert(one.getLong(0) == 1L && one.getLong(1) == 0L && one.getLong(2) == y3)
+  }
+
+  test("pmiBigrams: collocations beat chance pairs, values match a JVM recompute") {
+    val ss = spark
+    import ss.implicits._
+    val texts = Seq(
+      "new york is big and new york is old and new york sleeps",
+      "the cat and the dog and the bird and the fish walk")
+    val docs = texts.zipWithIndex.map { case (s, i) => (i + 1).toLong -> s }
+      .toDF("doc_id", "text")
+    val toks = texts.map(_.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val bis = toks.flatMap(ts => ts.zip(ts.tail))
+    val nTok = toks.map(_.size).sum.toLong
+    val nBig = bis.size.toLong
+    def q4(v: Long): Long = math.round(math.log(v.toDouble) * 10000)
+    val exp = bis.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+      .filter(_._2 >= 3L)
+      .map { case ((a, b), cab) =>
+        (a, b, cab, q4(cab) - q4(nBig) + 2 * q4(nTok) - q4(uni(a)) - q4(uni(b)))
+      }.toSeq.sortBy(r => (-r._4, r._1, r._2))
+    val got = TrainingOps.pmiBigrams(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(exp.nonEmpty && exp.map(_._1).contains("new"))
+    assert(got == exp, s"got $got\nexp $exp")
+    // the genuine collocation must out-score the stopword-adjacent pair
+    val pmi = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(pmi(("new", "york")) > pmi(("and", "the")))
+  }
+
+  test("lexicalRichness: hapax/TTR per source; letterless source decided with zeros") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "one two two three three", "web"),
+      (2L, "alpha beta", "books"),
+      (3L, "123 456", "junk")).toDF("doc_id", "text", "source")
+    val got = TrainingOps.lexicalRichness(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("web") == ((5L, 3L, 1L, 3333L, 6000L)))
+    assert(got("books") == ((2L, 2L, 2L, 10000L, 10000L)))
+    assert(got("junk") == ((0L, 0L, 0L, 0L, 0L)), "letterless source must still get a row")
+  }
+
   // --- windowed payload energy (x73) ------------------------------------------
 
   test("payloadEnergy: BYTE windows (not chars) with integer bounds; empty payload decided") {
