@@ -588,6 +588,17 @@ object SparkEntry {
     // per-source lexical richness (hapax share, type-token ratio)
     "x78_lexical_richness" -> ((s, dir) =>
       TrainingOps.lexicalRichness(s.read.parquet(t(dir, "documents")))),
+    // conversation-level exact dedup (turn-sequence fingerprint groups)
+    "x79_conv_dedup" -> ((s, dir) =>
+      TrainingOps.convDedupGroups(Pipeline.turnsFromDocuments(s, dir).toDF())),
+    // per-source acceptance rates toward a uniform token target (the
+    // rate-producing step in front of x51's mixture sampler)
+    "x80_mixture_rates" -> ((s, dir) =>
+      TrainingOps.mixtureRates(s.read.parquet(t(dir, "documents")))),
+    // Tukey-fence anomaly flags over the events stream (in-plan
+    // per-type percentile fences)
+    "x81_event_anomalies" -> ((s, dir) =>
+      TrainingOps.eventAnomalies(s.read.parquet(t(dir, "events")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -2387,7 +2398,63 @@ object SparkEntry {
         |      THEN n_terms * 10000 // n_tokens ELSE 0 END AS BIGINT) AS ttr_bp
         |FROM (SELECT DISTINCT source FROM documents) s
         |LEFT JOIN r ON s.source = r.source
-        |ORDER BY s.source""".stripMargin)
+        |ORDER BY s.source""".stripMargin,
+    // x79: same turns-view derivation as x40/x44; conversation
+    // fingerprint = md5 over per-turn md5s in turn_idx order
+    // (string_agg ORDER BY ≡ Spark's sort_array+concat_ws; turn_idx
+    // is unique per conv so the order is total); rep = min conv_id
+    "x79_conv_dedup" ->
+      s"""WITH turns AS (
+         | SELECT 'conv-' || lpad(CAST(doc_id // 10 AS VARCHAR), 8, '0') AS conv_id,
+         |  CAST(doc_id % 10 AS INT) AS turn_idx,
+         |  md5($normSql) AS th
+         | FROM documents),
+         |cfp AS (
+         | SELECT conv_id, md5(string_agg(th, ':' ORDER BY turn_idx)) AS fp
+         | FROM turns GROUP BY conv_id),
+         |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS gsize, min(conv_id) AS rep
+         |      FROM cfp GROUP BY fp)
+         |SELECT cfp.conv_id, cfp.fp, g.gsize,
+         | CAST(CASE WHEN cfp.conv_id = g.rep THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+         |FROM cfp JOIN g USING (fp)
+         |ORDER BY conv_id""".stripMargin,
+    // x80: integer bp arithmetic end to end; // ≡ Spark DIV on the
+    // nonnegative operands here; token count = x45's split-on-space
+    // over the shared norm (empty norm -> [''] -> filtered -> 0)
+    "x80_mixture_rates" ->
+      s"""WITH tok AS (
+         | SELECT source,
+         |  CAST(len(list_filter(string_split($normSql, ' '), t -> t <> '')) AS BIGINT) AS n_toks
+         | FROM documents),
+         |bys AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |        FROM tok GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |               CAST(count(*) AS BIGINT) AS n_sources FROM bys),
+         |rates AS (
+         | SELECT source, n_tokens,
+         |  CAST(total_tokens // n_sources AS BIGINT) AS target_tokens,
+         |  CAST(CASE WHEN n_tokens > 0
+         |       THEN least(10000, (total_tokens // n_sources) * 10000 // n_tokens)
+         |       ELSE 0 END AS BIGINT) AS accept_bp
+         | FROM bys CROSS JOIN tot)
+         |SELECT source, n_tokens, target_tokens, accept_bp,
+         | CAST(n_tokens * accept_bp // 10000 AS BIGINT) AS kept_tokens
+         |FROM rates ORDER BY source""".stripMargin,
+    // x81: quantile_cont ≡ Spark exact percentile (x24's proof); the
+    // fence is one multiply/add on those identical doubles, compared
+    // UNROUNDED in both engines; round(.,4) for the display columns
+    "x81_event_anomalies" ->
+      """WITH f AS (
+        | SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        |        quantile_cont(value, 0.75) AS q3
+        | FROM events GROUP BY event_type),
+        |fe AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+        |              q3 + (q3 - q1) * 1.5 AS hi FROM f)
+        |SELECT e.event_id, e.event_type, e.value,
+        | round(lo, 4) AS lo_fence, round(hi, 4) AS hi_fence,
+        | CAST(CASE WHEN e.value < lo OR e.value > hi THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM events e JOIN fe USING (event_type)
+        |ORDER BY event_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

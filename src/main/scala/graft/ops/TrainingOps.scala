@@ -3127,4 +3127,104 @@ object TrainingOps {
         when(col("n_tokens") > 0, expr("n_terms * 10000 DIV n_tokens")).otherwise(0L))
       .orderBy("source")
   }
+
+  /** Conversation-level exact dedup over the transcript table — the
+    * whole-dialogue twin of q09's document dedup: two conversations are
+    * duplicates iff their TURN SEQUENCES match (same normalized text in
+    * the same turn order; reordered turns are different conversations).
+    * Fingerprint = md5 over the per-turn md5s concatenated in turn_idx
+    * order — built from a bounded per-conversation array (a dialogue's
+    * turn count is conversation length, not corpus scale), sorted
+    * in-array so no window is needed. Scale shape: one groupBy conv_id
+    * with map-side list collection bounded by dialogue length, one
+    * fingerprint-count aggregate, one join-back; rep = min conv_id per
+    * group (the q09/x71 canonical-pick convention). */
+  def convDedupGroups(turns: DataFrame): DataFrame = {
+    val (out, cfp) = convDedupGroupsPlan(turns)
+    try out.localCheckpoint(true) finally cfp.unpersist()
+  }
+
+  /** Lazy pipeline + the conversation-fingerprint cache that feeds both
+    * the group aggregate and the join-back probe (DumpPlans /
+    * PlanQualitySpec surface; the public operator materializes it once
+    * and releases the cache). */
+  private[graft] def convDedupGroupsPlan(turns: DataFrame): (DataFrame, DataFrame) = {
+    val th = turns.select(col("conv_id"), col("turn_idx"),
+      md5(normText(col("text"))).as("th"))
+    val cfp = th.groupBy("conv_id").agg(
+      md5(concat_ws(":",
+        transform(sort_array(collect_list(struct(col("turn_idx"), col("th")))),
+          s => s.getField("th")))).as("fp")).persist()
+    val g = cfp.groupBy("fp").agg(count(lit(1)).as("gsize"), min("conv_id").as("rep"))
+    val out = cfp.join(g, "fp")
+      .select(col("conv_id"), col("fp"), col("gsize"),
+        when(col("conv_id") === col("rep"), 1L).otherwise(0L).as("is_rep"))
+      .orderBy("conv_id")
+    (out, cfp)
+  }
+
+  /** Static mixture-rate computation — the step that PRODUCES the
+    * acceptance rates x51's mixture sampler consumes (DoReMi-style
+    * rebalance collapsed to its deterministic core): given the
+    * per-source token masses, compute each source's acceptance rate
+    * toward a UNIFORM token target (total DIV n_sources; production
+    * would pass a target vector — uniform keeps the query
+    * deterministic), capped at 100% since sampling can only
+    * down-weight. Integer bp arithmetic end to end. Scale shape: one
+    * per-source aggregate (sources ≪ docs), totals as a 1-row
+    * broadcast — the whole query's output is sources-sized. */
+  def mixtureRates(docs: DataFrame): DataFrame = {
+    val (out, bySource) = mixtureRatesPlan(docs)
+    try out.localCheckpoint(true) finally bySource.unpersist()
+  }
+
+  /** Lazy pipeline + the sources-sized token-mass cache that feeds both
+    * the corpus-total aggregate and the rate projection — caching the
+    * ≤|sources|-row aggregate instead of re-running the corpus-scale
+    * tokenize scan on both sides of the cross join. */
+  private[graft] def mixtureRatesPlan(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = split(normText(col("text")), " ")
+    val perDoc = docs.select(col("source"),
+      size(filter(toks, t => t =!= "")).cast(LongType).as("n_toks"))
+    val bySource = perDoc.groupBy("source").agg(sum("n_toks").as("n_tokens"))
+      .persist()
+    val tot = bySource.agg(sum("n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val out = bySource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("total_tokens DIV n_sources").as("target_tokens"))
+      .withColumn("accept_bp",
+        when(col("n_tokens") > 0,
+          least(lit(10000L), expr("target_tokens * 10000 DIV n_tokens")))
+          .otherwise(0L))
+      .withColumn("kept_tokens", expr("n_tokens * accept_bp DIV 10000"))
+      .orderBy("source")
+    (out, bySource)
+  }
+
+  /** Tukey-fence event anomaly flags — the telemetry-health gate a
+    * pipeline runs over its own operational metrics stream: per
+    * event_type, flag values outside [q1 − 1.5·IQR, q3 + 1.5·IQR].
+    * The fences are computed IN-PLAN (per-type exact percentile
+    * aggregate joined back — types are few, AQE broadcasts) and the
+    * flag compares against the UNROUNDED fence in both engines (x24
+    * proved percentile ≡ quantile_cont bit-for-bit; one multiply/add
+    * on identical doubles stays identical), with rounded fences
+    * carried for display only. Exact percentile funnels per key; at
+    * 10^12 rows swap approx_percentile, same plan shape (the x24/x45
+    * upgrade path). */
+  def eventAnomalies(events: DataFrame): DataFrame = {
+    val fences = events.groupBy("event_type").agg(
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.75)").as("q3"))
+      .select(col("event_type"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    events.join(fences, "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("lo"), 4).as("lo_fence"), round(col("hi"), 4).as("hi_fence"),
+        when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L).as("is_anomaly"))
+      .orderBy("event_id")
+  }
 }

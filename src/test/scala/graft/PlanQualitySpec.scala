@@ -334,6 +334,36 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally kept.unpersist()
   }
 
+  test("x79: one cached conversation-fingerprint table feeds the group agg and the join-back") {
+    val (df, cfp) = graft.ops.TrainingOps.convDedupGroupsPlan(
+      graft.Pipeline.turnsFromDocuments(spark, sfDir).toDF())
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"both the group aggregate and the probe must read the cached fp table:\n$p")
+      val plain = df.queryExecution.executedPlan.collectLeaves()
+        .count(l => !l.toString().contains("InMemoryTableScan"))
+      assert(plain == 0,
+        s"no leaf may recompute the conversation fingerprints from the corpus:\n$p")
+    } finally cfp.unpersist()
+  }
+
+  test("x80: one cached token-mass aggregate feeds the corpus total and the rate projection") {
+    val (df, bySource) = graft.ops.TrainingOps.mixtureRatesPlan(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+        s"both the total and the probe must read the cached per-source table:\n$p")
+      val plain = df.queryExecution.executedPlan.collectLeaves()
+        .count(l => !l.toString().contains("InMemoryTableScan"))
+      assert(plain == 0,
+        s"the tokenize scan must run once, inside the cached aggregate:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"the 1-row total must re-enter by broadcast:\n$p")
+    } finally bySource.unpersist()
+  }
+
   test("x22/x23: as-of and range joins are equi-joins, never nested loops") {
     for (n <- Seq("x22_asof_join", "x23_range_join")) {
       val p = plan(n)

@@ -1948,4 +1948,56 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(i) == ((3L, Some(10L), 0L)), s"doc $i: ${got(i)}") // 3 identical ref matches
     assert(got(500L) == ((0L, None, 1L)), s"unique doc: ${got(500L)}")
   }
+
+  // --- conv dedup + mixture rates + event anomalies (x79-x81) -----------------
+
+  test("convDedupGroups: turn-sequence fingerprint; reordered turns differ; min-id rep") {
+    val ss = spark
+    import ss.implicits._
+    val turns = Seq(
+      ("c1", 1, "bye"), ("c1", 0, "Hello  WORLD"), // out-of-order rows: sort_array fixes
+      ("c2", 0, "hello world"), ("c2", 1, "  bye "),
+      ("c3", 0, "bye"), ("c3", 1, "hello world"), // same turns, swapped order
+      ("c4", 0, "solo")).toDF("conv_id", "turn_idx", "text")
+    val got = TrainingOps.convDedupGroups(turns).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got("c1") == ((2L, 1L)), "c1/c2 normalize to the same turn sequence")
+    assert(got("c2") == ((2L, 0L)))
+    assert(got("c3") == ((1L, 1L)), "reordered turns are a DIFFERENT conversation")
+    assert(got("c4") == ((1L, 1L)))
+  }
+
+  test("mixtureRates: uniform target, rate capped at 10000 bp, zero-token source decided") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f", "web"),
+      (2L, "g h", "web"),
+      (3L, "i j", "books"),
+      (4L, "   ", "junk")).toDF("doc_id", "text", "source")
+    // corpus total 10 tokens over 3 sources → uniform target 3
+    val got = TrainingOps.mixtureRates(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("web") == ((8L, 3L, 3750L, 3L)), s"web: ${got("web")}")
+    assert(got("books") == ((2L, 3L, 10000L, 2L)), "under-target source keeps everything")
+    assert(got("junk") == ((0L, 3L, 0L, 0L)), "whitespace-only source decided with zeros")
+  }
+
+  test("eventAnomalies: per-type Tukey fences match a JVM recompute; constant type flags nothing") {
+    val ss = spark
+    import ss.implicits._
+    // type a sorted: [1..7, 100] → q1 = 2.75, q3 = 6.25 (quantile_cont
+    // interpolation), IQR 3.5 → fences [-2.5, 11.5]; only 100.0 flags
+    val events = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v) } ++
+      Seq((100L, "b", 5.0), (101L, "b", 5.0), (102L, "b", 5.0)))
+      .toDF("event_id", "event_type", "value")
+    val got = TrainingOps.eventAnomalies(events).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got.size == 11)
+    assert(got.filter(_._2._3 == 1L).keySet == Set(7L), "only the 100.0 outlier flags")
+    assert(got(0L)._1 == -2.5 && got(0L)._2 == 11.5, s"type-a fences: ${got(0L)}")
+    assert(got(100L) == ((5.0, 5.0, 0L)), "zero-IQR type: fences collapse, nothing flags")
+  }
 }
