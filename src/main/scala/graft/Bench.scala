@@ -134,7 +134,12 @@ object Bench {
       "x73_payload_energy", "x74_corpus_datasheet", "x75_source_mix",
       // round-5: corpus-health diagnostics (Zipf fit, PMI collocations,
       // per-source lexical richness)
-      "x76_zipf_fit", "x77_pmi_bigrams", "x78_lexical_richness")
+      "x76_zipf_fit", "x77_pmi_bigrams", "x78_lexical_richness",
+      // round-5: conversation-level dedup, mixture acceptance rates,
+      // Tukey-fence event anomalies, weighted sampling, URL dedup,
+      // int8 quantization
+      "x79_conv_dedup", "x80_mixture_rates", "x81_event_anomalies",
+      "x82_weighted_sample", "x83_url_canon_dedup", "x84_int8_quantize")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

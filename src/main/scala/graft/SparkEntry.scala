@@ -599,6 +599,15 @@ object SparkEntry {
     // per-type percentile fences)
     "x81_event_anomalies" -> ((s, dir) =>
       TrainingOps.eventAnomalies(s.read.parquet(t(dir, "events")))),
+    // Efraimidis-Spirakis weighted sample (map-only keys + top-k)
+    "x82_weighted_sample" -> ((s, dir) =>
+      TrainingOps.weightedSample(s.read.parquet(t(dir, "documents")))),
+    // URL canonicalization + exact dedup on the canonical form
+    "x83_url_canon_dedup" -> ((s, dir) =>
+      TrainingOps.urlCanonDedup(s.read.parquet(t(dir, "documents")))),
+    // symmetric int8 embedding quantization (per-element check)
+    "x84_int8_quantize" -> ((s, dir) =>
+      TrainingOps.int8Quantize(s.read.parquet(t(dir, "embeddings")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -2454,7 +2463,68 @@ object SparkEntry {
         | round(lo, 4) AS lo_fence, round(hi, 4) AS hi_fence,
         | CAST(CASE WHEN e.value < lo OR e.value > hi THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM events e JOIN fe USING (event_type)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    // x82: u = md5-derived 24-bit rational (exact binary fraction →
+    // identical double), ONE ln rounded to q4 before any arithmetic
+    // (x21/x77 convention), key = integer DIV (truncates toward zero
+    // in both engines — x76's proof covers negative numerators)
+    "x82_weighted_sample" ->
+      s"""WITH s AS (
+         | SELECT doc_id,
+         |  CAST(greatest(length($normSql), 1) AS BIGINT) AS weight,
+         |  CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1 AS u24
+         | FROM documents),
+         |k AS (
+         | SELECT doc_id, weight,
+         |  CAST(round(ln(u24 / 16777216.0) * 10000) AS BIGINT) AS lnu_q4
+         | FROM s)
+         |SELECT doc_id, weight, lnu_q4,
+         | CAST(lnu_q4 * 100000 // weight AS BIGINT) AS key
+         |FROM k ORDER BY key DESC, doc_id ASC LIMIT 100""".stripMargin,
+    // x83: the same regexp ladder, RE2-safe patterns only (no
+    // lookarounds) so Java regex and DuckDB agree literal-for-literal
+    "x83_url_canon_dedup" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |   WHEN 0 THEN 'https://' || h || '/p/' || b || '?id=' || b
+        |   WHEN 1 THEN 'HTTPS://' || upper(h) || ':443/p/' || b || '/#frag'
+        |   ELSE 'https://' || h || '/p/' || b || '?utm_source=feed'
+        |  END AS url
+        | FROM (
+        |  SELECT doc_id, CAST(doc_id // 3 AS VARCHAR) AS b,
+        |   ['example','news','tracker','cdn-ads','blog','wiki','shop'][CAST((doc_id // 3) % 7 AS INT) + 1]
+        |    || '.com' AS h
+        |  FROM documents)),
+        |c AS (
+        | SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+        |  regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':(443|80)$', '') ||
+        |  regexp_replace(regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+        |    '[?&]utm_[^&#]*', ''), '/$', '') AS canon_url
+        | FROM u),
+        |g AS (SELECT canon_url, CAST(count(*) AS BIGINT) AS gsize, min(doc_id) AS rep
+        |      FROM c GROUP BY canon_url)
+        |SELECT c.doc_id, c.url, c.canon_url, g.gsize,
+        | CAST(CASE WHEN c.doc_id = g.rep THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+        |FROM c JOIN g USING (canon_url)
+        |ORDER BY doc_id""".stripMargin,
+    // x84: float→double widening is exact both engines; amax is a max
+    // (no FP accumulation); round on the identical product (x28's
+    // quantize-before-project convention); zero vector decides q=0
+    "x84_int8_quantize" ->
+      """WITH e AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb,
+        |  list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS amax
+        | FROM embeddings),
+        |x AS (
+        | SELECT vec_id, amax, i - 1 AS i, emb[i] AS v
+        | FROM e, unnest(range(1, len(emb) + 1)) AS t(i))
+        |SELECT vec_id, CAST(i AS BIGINT) AS i,
+        | CAST(round(amax * 1000000) AS BIGINT) AS scale_q6,
+        | CAST(CASE WHEN amax > 0 THEN round(v * 127.0 / amax) ELSE 0 END AS BIGINT) AS q
+        |FROM x ORDER BY vec_id, i""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

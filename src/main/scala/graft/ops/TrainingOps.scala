@@ -3213,6 +3213,105 @@ object TrainingOps {
     * carried for display only. Exact percentile funnels per key; at
     * 10^12 rows swap approx_percentile, same plan shape (the x24/x45
     * upgrade path). */
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, the A-ES one-pass scheme): every doc draws
+    * u ∈ (0, 1] and the k docs with the largest u^(1/w) win — here
+    * computed as the equivalent integer key ln(u)·SCALE DIV w (ln is
+    * monotone; dividing the ≤0 fixed-point ln by the positive weight
+    * preserves the u^(1/w) order; DIV truncates toward zero in BOTH
+    * engines, and truncation is monotone enough at SCALE=10⁵ per weight
+    * unit to keep ties astronomically rare — doc_id breaks them). u is
+    * a PORTABLE md5-derived 24-bit rational (exact binary fraction, so
+    * ln sees the identical double in both engines; the single ln is
+    * rounded to q4 before any arithmetic, the x21/x77 portability
+    * convention). Weight = normalized char length — longer docs win
+    * proportionally more often, the token-budget-aware sampling a
+    * curation pass wants. Scale shape: ONE map-only projection feeding
+    * a TakeOrderedAndProject top-k — no shuffle, no window, no join;
+    * this is the weighted counterpart of x20's uniform hash sample. */
+  def weightedSample(docs: DataFrame, k: Int = 100): DataFrame = {
+    val w = greatest(length(normText(col("text"))), lit(1)).cast(LongType)
+    val u24 = conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 6),
+      16, 10).cast(LongType) + lit(1L)
+    docs.select(col("doc_id"), w.as("weight"),
+        round(log(u24.cast(DoubleType) / lit(16777216.0)) * 10000).cast(LongType)
+          .as("lnu_q4"))
+      .withColumn("key", expr("lnu_q4 * 100000 DIV weight"))
+      .orderBy(desc("key"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** URL canonicalization + exact dedup over the canonical form — the
+    * crawl-side twin of q09: raw URLs that differ only in scheme/host
+    * case, an explicit default port, a fragment, tracking params, or a
+    * trailing slash are the same page. Synthetic raw-URL traffic is
+    * derived from doc_id (the x43 convention — testdata has no URL
+    * column): three raw variants per base page, of which the
+    * case/port/fragment and tracking-param variants canonicalize
+    * TOGETHER while the ?id= variant keeps its legitimate query param
+    * and stays a singleton — the ladder strips tracking junk without
+    * collapsing genuinely distinct pages. Canonicalization is a fixed
+    * regexp ladder
+    * (scheme/host lowercased, :80/:443 stripped, fragment dropped,
+    * utm_* params removed, trailing slash trimmed) — every pattern is
+    * RE2-safe so Spark's Java regex and DuckDB agree. Scale shape: one
+    * map-only canonicalization, one map-side-combinable group count,
+    * one join-back (the canonical projection recomputes map-only on the
+    * probe side — the x69 convention; nothing corpus-scale is
+    * cached). */
+  def urlCanonDedup(docs: DataFrame): DataFrame = {
+    val hosts = Seq("example", "news", "tracker", "cdn-ads", "blog", "wiki", "shop")
+    val baseId = expr("doc_id DIV 3")
+    val host = concat(
+      element_at(typedLit(hosts), (pmod(baseId, lit(hosts.length)) + 1).cast("int")),
+      lit(".com"))
+    val variant = pmod(col("doc_id"), lit(3))
+    val bid = baseId.cast("string")
+    val raw = when(variant === 0,
+        concat(lit("https://"), host, lit("/p/"), bid, lit("?id="), bid))
+      .when(variant === 1,
+        concat(lit("HTTPS://"), upper(host), lit(":443/p/"), bid, lit("/#frag")))
+      .otherwise(
+        concat(lit("https://"), host, lit("/p/"), bid, lit("?utm_source=feed")))
+    val canon = {
+      val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+      val hostNoPort = regexp_replace(
+        lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+        ":(443|80)$", "")
+      val rest = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^#]*)", 1)
+      val noUtm = regexp_replace(rest, "[?&]utm_[^&#]*", "")
+      concat(scheme, lit("://"), hostNoPort, regexp_replace(noUtm, "/$", ""))
+    }
+    val c = docs.select(col("doc_id"), raw.as("url")).withColumn("canon_url", canon)
+    val g = c.groupBy("canon_url").agg(
+      count(lit(1)).as("gsize"), min("doc_id").as("rep"))
+    c.join(g, "canon_url")
+      .select(col("doc_id"), col("url"), col("canon_url"), col("gsize"),
+        when(col("doc_id") === col("rep"), 1L).otherwise(0L).as("is_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** Symmetric int8 embedding quantization (max-abs per-vector scaling,
+    * the faiss/ANN-serving storage convention): q_i = round(x_i · 127 /
+    * amax) ∈ [-127, 127]. Emits one row per (vec_id, dim) so the oracle
+    * checks every quantized element, plus the per-vector scale in q6
+    * fixed point. Portability: float→double widening is exact in both
+    * engines, amax is a max (no FP accumulation), and the single
+    * multiply/divide before round runs on identical doubles (the x28
+    * quantize-before-project convention). Zero vectors decide q=0
+    * rather than dividing by zero. Scale shape: map-only posexplode —
+    * embarrassingly parallel, no shuffle but the presentation sort. */
+  def int8Quantize(embs: DataFrame): DataFrame = {
+    val e = asDouble(col("embedding"))
+    val amax = array_max(transform(e, x => abs(x)))
+    embs.select(col("vec_id"), amax.as("amax"), posexplode(e).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast(LongType).as("i"),
+        round(col("amax") * 1000000).cast(LongType).as("scale_q6"),
+        when(col("amax") > 0, round(col("x") * 127.0 / col("amax")))
+          .otherwise(0.0).cast(LongType).as("q"))
+      .orderBy("vec_id", "i")
+  }
+
   def eventAnomalies(events: DataFrame): DataFrame = {
     val fences = events.groupBy("event_type").agg(
       expr("percentile(value, 0.25)").as("q1"),

@@ -2000,4 +2000,63 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0L)._1 == -2.5 && got(0L)._2 == 11.5, s"type-a fences: ${got(0L)}")
     assert(got(100L) == ((5.0, 5.0, 0L)), "zero-IQR type: fences collapse, nothing flags")
   }
+
+  // --- weighted sample + URL canon dedup + int8 quantize (x82-x84) ------------
+
+  test("weightedSample: A-ES keys match a JVM recompute; heavier docs hold better keys") {
+    val ss = spark
+    import ss.implicits._
+    val docs = (1L to 400L).map(i => (i, "w " * i.toInt)).toDF("doc_id", "text")
+    def jvmKey(id: Long): (Long, Long, Long) = {
+      val norm = ("w " * id.toInt).trim.replaceAll("\\s+", " ")
+      val w = math.max(norm.length, 1).toLong
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(6)
+      val u24 = java.lang.Long.parseLong(hex, 16) + 1
+      val lnu = math.round(math.log(u24 / 16777216.0) * 10000)
+      (w, lnu, lnu * 100000 / w) // Long / truncates toward zero = DIV
+    }
+    val exp = (1L to 400L).map(i => (i, jvmKey(i)))
+      .sortBy { case (id, (_, _, k)) => (-k, id) }.take(100)
+      .map { case (id, (w, lnu, k)) => (id, w, lnu, k) }
+    val got = TrainingOps.weightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == exp, s"head got ${got.take(3)} exp ${exp.take(3)}")
+    // weight must matter: winners skew heavy (mean weight above corpus mean)
+    val meanW = exp.map(_._2).sum.toDouble / exp.size
+    val corpusMeanW = (1L to 400L).map(i => jvmKey(i)._1).sum.toDouble / 400
+    assert(meanW > corpusMeanW,
+      s"weighted winners must skew heavy: $meanW <= $corpusMeanW")
+  }
+
+  test("urlCanonDedup: case/port/fragment/utm/slash variants collapse; legit params survive") {
+    val ss = spark
+    import ss.implicits._
+    val docs = (0L to 8L).map(i => (i, "x")).toDF("doc_id", "text")
+    val got = TrainingOps.urlCanonDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    // base 0: docs 0,1,2 → variant 1 (case+port+fragment+slash) and
+    // variant 2 (utm) collapse; variant 0 keeps ?id= and stays alone
+    assert(got(1L)._1 == "https://example.com/p/0" && got(2L)._1 == got(1L)._1)
+    assert(got(1L) == (("https://example.com/p/0", 2L, 1L)))
+    assert(got(2L)._2 == 2L && got(2L)._3 == 0L)
+    assert(got(0L) == (("https://example.com/p/0?id=0", 1L, 1L)),
+      "a legitimate query param is NOT tracking junk — must stay distinct")
+    assert(got(4L)._1 == "https://news.com/p/1", s"got ${got(4L)}")
+  }
+
+  test("int8Quantize: per-element symmetric quantization; zero vector decides q=0") {
+    val ss = spark
+    import ss.implicits._
+    val embs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = TrainingOps.int8Quantize(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got((1L, 0L)) == ((1000000L, 64L)), "0.5/1.0*127 = 63.5 rounds half-up to 64")
+    assert(got((1L, 1L)) == ((1000000L, -127L)))
+    assert(got((1L, 2L)) == ((1000000L, 32L)), "0.25*127 = 31.75 → 32")
+    assert(got((2L, 0L)) == ((0L, 0L)) && got((2L, 2L)) == ((0L, 0L)),
+      "zero amax must decide, not divide by zero")
+  }
 }
