@@ -608,6 +608,16 @@ object SparkEntry {
     // symmetric int8 embedding quantization (per-element check)
     "x84_int8_quantize" -> ((s, dir) =>
       TrainingOps.int8Quantize(s.read.parquet(t(dir, "embeddings")))),
+    // LSH-cluster centroids in integer fixed point (order-independent
+    // sums) over the planted-cluster view
+    "x85_cluster_centroids" -> ((s, dir) =>
+      TrainingOps.clusterCentroids(clusteredEmbeddings(s, dir))),
+    // link-graph in/out degree histogram (x66's edge derivation)
+    "x86_link_degrees" -> ((s, dir) =>
+      TrainingOps.linkDegreeStats(s.read.parquet(t(dir, "documents")))),
+    // per-source KL divergence from the corpus unigram distribution
+    "x87_source_kl" -> ((s, dir) =>
+      TrainingOps.sourceKlDivergence(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1124,6 +1134,19 @@ object SparkEntry {
     * aggregate over the recursive reference; unrolling sidesteps the
     * restriction and keeps every step plain SQL). All divisions are
     * DuckDB `//` ≡ Spark `div`, so ranks match bit-for-bit. */
+  /** x66's synthetic doc-link-graph derivation as CTEs (mirrors
+    * TrainingOps.docLinkEdges) — shared by the PageRank and the x86
+    * degree-histogram oracles. */
+  private def docLinkEdgesCtes: String =
+    s"""m AS (SELECT max(doc_id) + 1 AS m FROM documents),
+       |raw AS (
+       | SELECT doc_id AS src, ((doc_id * doc_id + 7) % m.m) AS dst FROM documents, m
+       | UNION
+       | SELECT doc_id, ((doc_id * 13 + 5) % m.m) FROM documents, m),
+       |edges AS (
+       | SELECT DISTINCT src, dst FROM raw
+       | WHERE src <> dst AND dst IN (SELECT doc_id FROM documents))""".stripMargin
+
   private def pageRankOracleSql: String = {
     val scale = 1000000000000L
     val iters = (1 to 10).map { k =>
@@ -1135,14 +1158,7 @@ object SparkEntry {
          |   FROM pr${k - 1} p JOIN edges e ON p.id = e.src JOIN deg d ON d.src = e.src
          |   GROUP BY e.dst) c ON nodes.id = c.id)"""
     }.mkString(",\n")
-    s"""WITH m AS (SELECT max(doc_id) + 1 AS m FROM documents),
-       |raw AS (
-       | SELECT doc_id AS src, ((doc_id * doc_id + 7) % m.m) AS dst FROM documents, m
-       | UNION
-       | SELECT doc_id, ((doc_id * 13 + 5) % m.m) FROM documents, m),
-       |edges AS (
-       | SELECT DISTINCT src, dst FROM raw
-       | WHERE src <> dst AND dst IN (SELECT doc_id FROM documents)),
+    s"""WITH $docLinkEdgesCtes,
        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
@@ -2524,7 +2540,51 @@ object SparkEntry {
         |SELECT vec_id, CAST(i AS BIGINT) AS i,
         | CAST(round(amax * 1000000) AS BIGINT) AS scale_q6,
         | CAST(CASE WHEN amax > 0 THEN round(v * 127.0 / amax) ELSE 0 END AS BIGINT) AS q
-        |FROM x ORDER BY vec_id, i""".stripMargin)
+        |FROM x ORDER BY vec_id, i""".stripMargin,
+    // x85: the x52 sign-LSH cluster key (shared SQL mirror of the
+    // native expression), per-element floor(x·10⁶) BIGINT quantization
+    // (x28), integer sums so aggregation order can't matter
+    "x85_cluster_centroids" ->
+      s"""WITH $clustEmbCte,
+         |sigs AS (${embedLshSigSqlFrom("cemb", "embedding")}),
+         |clust AS (SELECT vec_id, lsh_sig & 15 AS cluster FROM sigs),
+         |q AS (
+         | SELECT c.cluster, i - 1 AS i,
+         |  CAST(floor(e.embedding[i] * 1000000) AS BIGINT) AS qv
+         | FROM clust c JOIN cemb e USING (vec_id),
+         |      unnest(range(1, len(e.embedding) + 1)) AS t(i))
+         |SELECT cluster, CAST(i AS BIGINT) AS i,
+         | CAST(count(*) AS BIGINT) AS n_vecs,
+         | CAST(sum(qv) AS BIGINT) AS sum_q6,
+         | CAST(sum(qv) // count(*) AS BIGINT) AS centroid_q6
+         |FROM q GROUP BY cluster, i ORDER BY cluster, i""".stripMargin,
+    // x86: x66's edge CTEs verbatim (shared val — no drift); degree
+    // then histogram, both engines
+    "x86_link_degrees" ->
+      s"""WITH $docLinkEdgesCtes,
+         |t AS (SELECT src AS id, 'out' AS dir FROM edges
+         |      UNION ALL SELECT dst, 'in' FROM edges),
+         |d AS (SELECT dir, id, CAST(count(*) AS BIGINT) AS deg FROM t GROUP BY 1, 2)
+         |SELECT dir, deg, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // x87: x78's tokenization; KL as a sum of individually-rounded
+    // integer ln terms (x77 convention), DIV per-source total for q4
+    "x87_source_kl" ->
+      """WITH w AS (
+        | SELECT source, t AS term FROM (
+        |  SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+        |  FROM documents) WHERE t <> ''),
+        |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cs FROM w GROUP BY 1, 2),
+        |ct AS (SELECT term, CAST(sum(cs) AS BIGINT) AS c FROM st GROUP BY 1),
+        |stot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ct)
+        |SELECT st.source, ts AS n_tokens,
+        | CAST(sum(cs * (CAST(round(ln(CAST(cs AS DOUBLE)) * 10000) AS BIGINT)
+        |   - CAST(round(ln(CAST(ts AS DOUBLE)) * 10000) AS BIGINT)
+        |   - CAST(round(ln(CAST(c AS DOUBLE)) * 10000) AS BIGINT)
+        |   + CAST(round(ln(CAST(t AS DOUBLE)) * 10000) AS BIGINT))) // ts AS BIGINT) AS kl_q4
+        |FROM st JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN tot
+        |GROUP BY st.source, ts ORDER BY st.source""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

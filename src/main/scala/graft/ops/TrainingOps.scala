@@ -3202,6 +3202,93 @@ object TrainingOps {
     (out, bySource)
   }
 
+  /** LSH-cluster centroid build in INTEGER fixed point — the
+    * cluster-structure summary an IVF/SemDeDup pass materializes once
+    * and reuses (x04's per-partition k-means and x52's cluster keys are
+    * the consumers of exactly this table shape). Cluster = low bits of
+    * the native 48-bit sign-LSH signature (the x52 assignment);
+    * centroid components are built from per-element floor(x·10⁶) BIGINT
+    * quantization (x28's convention) so every sum is an INTEGER sum —
+    * order-independent under any partitioning, which is what makes an
+    * exact cross-engine oracle possible where a float mean would drift
+    * with aggregation order. Scale shape: one map-only explode to
+    * (cluster, dim, qv) then ONE map-side-combinable aggregate down to
+    * ≤ 2^bits · dims rows — no joins, no windows. */
+  def clusterCentroids(embeddings: DataFrame, clusterBits: Int = 4): DataFrame = {
+    graft.GraftFunctions.register(embeddings.sparkSession)
+    val mask = (1L << clusterBits) - 1
+    val q = transform(asDouble(col("embedding")),
+      x => floor(x * 1000000).cast(LongType))
+    embeddings.select(
+        call_function("embed_lsh_sig48", col("embedding"))
+          .bitwiseAND(lit(mask)).as("cluster"),
+        posexplode(q).as(Seq("i", "qv")))
+      .groupBy("cluster", "i")
+      .agg(count(lit(1)).as("n_vecs"), sum("qv").as("sum_q6"))
+      .select(col("cluster"), col("i").cast(LongType).as("i"),
+        col("n_vecs"), col("sum_q6"),
+        expr("sum_q6 DIV n_vecs").as("centroid_q6"))
+      .orderBy("cluster", "i")
+  }
+
+  /** Link-graph degree histogram over the synthetic doc link graph
+    * (x66's edge derivation) — the crawl-graph shape diagnostic that
+    * decides whether PageRank/labelProp passes face hub skew: for each
+    * direction, how many nodes hold each degree. One union-tagged
+    * explode of the edge list, then two map-side-combinable aggregates
+    * (node-degree, then histogram) — the edge list is scanned ONCE for
+    * both directions instead of once per side. */
+  def linkDegreeStats(docs: DataFrame): DataFrame = {
+    val tagged = docLinkEdges(docs).select(explode(array(
+        struct(col("src").as("id"), lit("out").as("dir")),
+        struct(col("dst").as("id"), lit("in").as("dir")))).as("t"))
+      .select(col("t.id").as("id"), col("t.dir").as("dir"))
+    tagged.groupBy("dir", "id").agg(count(lit(1)).as("deg"))
+      .groupBy("dir", "deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("dir", "deg")
+  }
+
+  def sourceKlDivergence(docs: DataFrame): DataFrame = {
+    val (out, st) = sourceKlDivergencePlan(docs)
+    try out.localCheckpoint(true) finally st.unpersist()
+  }
+
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the distribution-shift diagnostic next to x75's mixture report
+    * and x78's richness: KL(pₛ‖p) = Σ_w pₛ(w)·ln(pₛ(w)/p(w)), computed
+    * as INDIVIDUALLY-rounded integer ln terms (the x77 bit-portability
+    * convention: cs·(lnq(cs) − lnq(ts) − lnq(c) + lnq(t)) summed as
+    * BIGINTs — order-independent — then DIV ts for q4 nats). The
+    * (source, term) count table is built ONCE and cached: it feeds the
+    * corpus term counts, the per-source totals, and the join probe
+    * (three references — the x32/x41 single-materialization shape).
+    * Corpus-side joins are left to AQE (vocab can exceed the broadcast
+    * budget at 100 TB); the sources-sized and 1-row aggregates re-enter
+    * by broadcast. */
+  private[graft] def sourceKlDivergencePlan(docs: DataFrame): (DataFrame, DataFrame) = {
+    val st = docs.select(col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("cs"))
+      .persist()
+    val ct = st.groupBy("w").agg(sum("cs").as("c"))
+    val stot = st.groupBy("source").agg(sum("cs").as("ts"))
+    val tot = ct.agg(sum("c").as("t"))
+    def lnq(c: Column) = round(log(c.cast(DoubleType)) * 10000).cast(LongType)
+    val out = st.join(ct, "w")
+      .join(broadcast(stot), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("ts"),
+        (col("cs") * (lnq(col("cs")) - lnq(col("ts")) - lnq(col("c")) + lnq(col("t"))))
+          .as("contrib"))
+      .groupBy("source")
+      .agg(max("ts").as("n_tokens"), sum("contrib").as("s"))
+      .select(col("source"), col("n_tokens"),
+        expr("s DIV n_tokens").as("kl_q4"))
+      .orderBy("source")
+    (out, st)
+  }
+
   /** Tukey-fence event anomaly flags — the telemetry-health gate a
     * pipeline runs over its own operational metrics stream: per
     * event_type, flag values outside [q1 − 1.5·IQR, q3 + 1.5·IQR].

@@ -364,6 +364,20 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally bySource.unpersist()
   }
 
+  test("x87: one cached (source, term) count table feeds all three references") {
+    val (df, st) = graft.ops.TrainingOps.sourceKlDivergencePlan(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"term counts, source totals, and probe must all read the cache:\n$p")
+      val plain = df.queryExecution.executedPlan.collectLeaves()
+        .count(l => !l.toString().contains("InMemoryTableScan"))
+      assert(plain == 0,
+        s"the tokenize scan must run once, inside the cached count table:\n$p")
+    } finally st.unpersist()
+  }
+
   test("x22/x23: as-of and range joins are equi-joins, never nested loops") {
     for (n <- Seq("x22_asof_join", "x23_range_join")) {
       val p = plan(n)

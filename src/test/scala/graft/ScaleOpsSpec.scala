@@ -2059,4 +2059,94 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got((2L, 0L)) == ((0L, 0L)) && got((2L, 2L)) == ((0L, 0L)),
       "zero amax must decide, not divide by zero")
   }
+
+  // --- cluster centroids + link degrees + source KL (x85-x87) -----------------
+
+  test("clusterCentroids: integer sums match a JVM group-by over the native cluster keys") {
+    val ss = spark
+    import ss.implicits._
+    graft.GraftFunctions.register(ss)
+    val embs = (0L until 60L).map { i =>
+      (i, (0 until 4).map(d => (((i * (d + 3)) % 7).toDouble / 10.0 - 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    // cluster assignment from the native expression itself (native ≡
+    // column path is pinned elsewhere); sums recomputed in the JVM
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val assign = embs.select(col("vec_id"),
+        call_function("embed_lsh_sig48", col("embedding"))
+          .bitwiseAND(lit(15L)).as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qvec = (0L until 60L).map { i =>
+      i -> (0 until 4).map(d =>
+        math.floor(((((i * (d + 3)) % 7).toDouble / 10.0 - 0.3).toFloat.toDouble) * 1000000).toLong)
+    }.toMap
+    val cells: Seq[((Long, Long), Long)] = (0L until 60L).flatMap { i =>
+      qvec(i).zipWithIndex.map { case (q, d) => ((assign(i), d.toLong), q) }
+    }
+    val exp = cells.groupBy(_._1).map { case (k, xs) =>
+      val qs = xs.map(_._2)
+      k -> ((qs.size.toLong, qs.sum, qs.sum / qs.size))
+    }
+    val got = TrainingOps.clusterCentroids(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp, s"got ${got.toSeq.sortBy(_._1).take(4)}")
+    assert(exp.keys.map(_._1).toSet.size >= 2, "input must span several clusters")
+  }
+
+  test("linkDegreeStats: histogram matches a JVM recompute of the x66 edge derivation") {
+    val ss = spark
+    import ss.implicits._
+    val n = 40L
+    val docs = (0L until n).map(i => (i, "t")).toDF("doc_id", "text")
+    val edges = (0L until n).flatMap(i =>
+      Seq((i * i + 7) % n, (i * 13 + 5) % n).map(d => (i, d)))
+      .filter { case (s, d) => s != d }.distinct
+    val degs = edges.map(e => ("out", e._1)) ++ edges.map(e => ("in", e._2))
+    // .toSeq before the second grouping: mapping a Map to pairs would
+    // collapse same-(dir, deg) nodes into one key
+    val exp = degs.groupBy(identity).toSeq
+      .map { case ((dir, _), xs) => (dir, xs.size.toLong) }
+      .groupBy(identity).map { case ((dir, deg), xs) => (dir, deg, xs.size.toLong) }
+      .toSet
+    val got = TrainingOps.linkDegreeStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp, s"got $got\nexp $exp")
+  }
+
+  test("sourceKlDivergence: identical-to-corpus source reads 0; skewed source positive") {
+    val ss = spark
+    import ss.implicits._
+    def q4(v: Long): Long = math.round(math.log(v.toDouble) * 10000)
+    def jvm(st: Map[(String, String), Long]): Map[String, (Long, Long)] = {
+      val ct = st.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+      val ts = st.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+      val t = ct.values.sum
+      ts.keys.map { s =>
+        val contrib = st.collect { case ((`s`, w), cs) =>
+          cs * (q4(cs) - q4(ts(s)) - q4(ct(w)) + q4(t))
+        }.sum
+        s -> ((ts(s), contrib / ts(s)))
+      }.toMap
+    }
+    // two sources with the SAME distribution: the rounded ln terms
+    // cancel exactly and both sources read 0
+    val same = Seq((1L, "a a b", "s1"), (2L, "a a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val gotSame = TrainingOps.sourceKlDivergence(same).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotSame == Map("s1" -> ((3L, 0L)), "s2" -> ((3L, 0L))), s"got $gotSame")
+    // a concentrated source diverges more than balanced ones
+    val skew = Seq((1L, "a b c d", "s1"), (2L, "a b c d", "s2"),
+      (3L, "a a a a", "s3")).toDF("doc_id", "text", "source")
+    val exp = jvm(Map(
+      ("s1", "a") -> 1L, ("s1", "b") -> 1L, ("s1", "c") -> 1L, ("s1", "d") -> 1L,
+      ("s2", "a") -> 1L, ("s2", "b") -> 1L, ("s2", "c") -> 1L, ("s2", "d") -> 1L,
+      ("s3", "a") -> 4L))
+    val got = TrainingOps.sourceKlDivergence(skew).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    assert(got("s3")._2 > got("s1")._2 && got("s3")._2 > 0,
+      s"concentrated source must dominate: $got")
+  }
 }
