@@ -1128,12 +1128,6 @@ object SparkEntry {
        | FROM cands JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)""".stripMargin
   }
 
-  /** Fixed-point integer PageRank oracle — the synthetic link graph
-    * mirrored from [[graft.ops.TrainingOps.docLinkEdges]] and the ten
-    * power iterations UNROLLED as chained CTEs (recursive CTEs cannot
-    * aggregate over the recursive reference; unrolling sidesteps the
-    * restriction and keeps every step plain SQL). All divisions are
-    * DuckDB `//` ≡ Spark `div`, so ranks match bit-for-bit. */
   /** x66's synthetic doc-link-graph derivation as CTEs (mirrors
     * TrainingOps.docLinkEdges) — shared by the PageRank and the x86
     * degree-histogram oracles. */
@@ -1147,6 +1141,11 @@ object SparkEntry {
        | SELECT DISTINCT src, dst FROM raw
        | WHERE src <> dst AND dst IN (SELECT doc_id FROM documents))""".stripMargin
 
+  /** Fixed-point integer PageRank oracle — x66's edge CTEs plus the ten
+    * power iterations UNROLLED as chained CTEs (recursive CTEs cannot
+    * aggregate over the recursive reference; unrolling sidesteps the
+    * restriction and keeps every step plain SQL). All divisions are
+    * DuckDB `//` ≡ Spark `div`, so ranks match bit-for-bit. */
   private def pageRankOracleSql: String = {
     val scale = 1000000000000L
     val iters = (1 to 10).map { k =>
@@ -2579,10 +2578,10 @@ object SparkEntry {
         |stot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts FROM st GROUP BY 1),
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ct)
         |SELECT st.source, ts AS n_tokens,
-        | CAST(sum(cs * (CAST(round(ln(CAST(cs AS DOUBLE)) * 10000) AS BIGINT)
+        | CAST(greatest(0, sum(cs * (CAST(round(ln(CAST(cs AS DOUBLE)) * 10000) AS BIGINT)
         |   - CAST(round(ln(CAST(ts AS DOUBLE)) * 10000) AS BIGINT)
         |   - CAST(round(ln(CAST(c AS DOUBLE)) * 10000) AS BIGINT)
-        |   + CAST(round(ln(CAST(t AS DOUBLE)) * 10000) AS BIGINT))) // ts AS BIGINT) AS kl_q4
+        |   + CAST(round(ln(CAST(t AS DOUBLE)) * 10000) AS BIGINT))) // ts) AS BIGINT) AS kl_q4
         |FROM st JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN tot
         |GROUP BY st.source, ts ORDER BY st.source""".stripMargin)
 

@@ -3283,8 +3283,11 @@ object TrainingOps {
           .as("contrib"))
       .groupBy("source")
       .agg(max("ts").as("n_tokens"), sum("contrib").as("s"))
+      // KL is non-negative; the per-term q4 rounding can push a
+      // nearly-corpus-identical source a hair below zero — clamp so
+      // downstream thresholds at 0 never see a nonsense negative
       .select(col("source"), col("n_tokens"),
-        expr("s DIV n_tokens").as("kl_q4"))
+        greatest(lit(0L), expr("s DIV n_tokens")).as("kl_q4"))
       .orderBy("source")
     (out, st)
   }

@@ -2126,7 +2126,7 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         val contrib = st.collect { case ((`s`, w), cs) =>
           cs * (q4(cs) - q4(ts(s)) - q4(ct(w)) + q4(t))
         }.sum
-        s -> ((ts(s), contrib / ts(s)))
+        s -> ((ts(s), math.max(0L, contrib / ts(s))))
       }.toMap
     }
     // two sources with the SAME distribution: the rounded ln terms
