@@ -3402,18 +3402,28 @@ object TrainingOps {
       .orderBy("vec_id", "i")
   }
 
-  def eventAnomalies(events: DataFrame): DataFrame = {
-    val fences = events.groupBy("event_type").agg(
-      expr("percentile(value, 0.25)").as("q1"),
-      expr("percentile(value, 0.75)").as("q3"))
+  def eventAnomalies(events: DataFrame): DataFrame =
+    anomalyFlagsCore(events, eventFences(events)).orderBy("event_id")
+
+  /** Per-type Tukey fences (shared by the batch x81 gate and the
+    * streaming twin, which computes them over a HISTORICAL batch and
+    * flags live events against them). */
+  private[graft] def eventFences(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
       .select(col("event_type"),
         (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
         (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+
+  /** Fence join + flag projection — no sort, no aggregation, so the
+    * same plan runs over a batch frame and a streaming one (the x81
+    * batch query adds the presentation sort on top). */
+  private[graft] def anomalyFlagsCore(events: DataFrame,
+                                      fences: DataFrame): DataFrame =
     events.join(fences, "event_type")
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("lo"), 4).as("lo_fence"), round(col("hi"), 4).as("hi_fence"),
         when(col("value") < col("lo") || col("value") > col("hi"), 1L)
           .otherwise(0L).as("is_anomaly"))
-      .orderBy("event_id")
-  }
 }

@@ -75,6 +75,22 @@ object StreamingPipeline {
     graft.ops.TrainingOps.decontaminateCore(docs, bGrams, n)
   }
 
+  /** Streaming Tukey-fence anomaly gate — the live twin of the batch
+    * x81 query: fences are computed ONCE over a HISTORICAL events batch
+    * (exact per-type percentiles can't fold incrementally; a production
+    * job refreshes them on a cadence and restarts the stream, the
+    * standard reference-data pattern) and live events are flagged
+    * against them through the SAME
+    * [[graft.ops.TrainingOps.anomalyFlagsCore]] the batch query runs —
+    * a stateless stream-static broadcast join, so flags are identical
+    * to batch regardless of micro-batch boundaries (spec-pinned). The
+    * fence table is persisted so triggers don't recompute the
+    * historical percentiles (the streamDecontaminate convention). */
+  def streamEventAnomalies(events: DataFrame, historical: DataFrame): DataFrame = {
+    val fences = graft.ops.TrainingOps.eventFences(historical).persist()
+    graft.ops.TrainingOps.anomalyFlagsCore(events, fences)
+  }
+
   /** One emitted near-duplicate match (canonical id order). */
   final case class NearDupPair(id_a: Long, id_b: Long, hamming: Int)
 

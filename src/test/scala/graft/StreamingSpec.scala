@@ -361,4 +361,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed(3L) > streamed(1L),
       "doc with both benchmark grams must count more hits")
   }
+
+  test("streaming anomaly flags against historical fences == batch x81, across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // historical: type a sorted [1..7, 100] → fences [-2.5, 11.5];
+    // type b constant 5.0 → fences collapse to [5, 5]
+    val hist = ((0 until 8).map(i =>
+      (i.toLong, "a", Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0)(i))) ++
+      Seq((100L, "b", 5.0), (101L, "b", 5.0))).toDF("event_id", "event_type", "value")
+    val live1 = Seq((200L, "a", 3.0), (201L, "a", 50.0), (202L, "b", 5.0))
+    val live2 = Seq((203L, "a", -9.0), (204L, "b", 5.1))
+    val input = MemoryStream[(Long, String, Double)]
+    val q = StreamingPipeline.streamEventAnomalies(
+      input.toDF().toDF("event_id", "event_type", "value"), hist)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(live1: _*)
+    q.processAllAvailable()
+    input.addData(live2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM anom_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    val batch = graft.ops.TrainingOps.anomalyFlagsCore(
+      (live1 ++ live2).toDF("event_id", "event_type", "value"),
+      graft.ops.TrainingOps.eventFences(hist)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    val flags = streamed.map(t => t._1 -> t._6).toMap
+    assert(flags == Map(200L -> 0L, 201L -> 1L, 202L -> 0L, 203L -> 1L, 204L -> 1L),
+      s"fence decisions wrong: $flags")
+  }
 }
