@@ -140,8 +140,10 @@ object Bench {
       // int8 quantization
       "x79_conv_dedup", "x80_mixture_rates", "x81_event_anomalies",
       "x82_weighted_sample", "x83_url_canon_dedup", "x84_int8_quantize",
-      // round-5: cluster centroids, link degrees, source KL
-      "x85_cluster_centroids", "x86_link_degrees", "x87_source_kl")
+      // round-5: cluster centroids, link degrees, source KL, source
+      // overlap, difficulty deciles, snapshot diff
+      "x85_cluster_centroids", "x86_link_degrees", "x87_source_kl",
+      "x88_source_overlap", "x89_difficulty_buckets", "x90_snapshot_diff")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

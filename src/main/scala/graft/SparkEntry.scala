@@ -618,6 +618,15 @@ object SparkEntry {
     // per-source KL divergence from the corpus unigram distribution
     "x87_source_kl" -> ((s, dir) =>
       TrainingOps.sourceKlDivergence(s.read.parquet(t(dir, "documents")))),
+    // source-pair vocabulary overlap (containment bp, x41 convention)
+    "x88_source_overlap" -> ((s, dir) =>
+      TrainingOps.sourceOverlap(s.read.parquet(t(dir, "documents")))),
+    // curriculum difficulty deciles via in-plan percentile fences
+    "x89_difficulty_buckets" -> ((s, dir) =>
+      TrainingOps.difficultyBuckets(s.read.parquet(t(dir, "documents")))),
+    // snapshot diff: added/removed/modified/unchanged per doc_id
+    "x90_snapshot_diff" -> ((s, dir) =>
+      TrainingOps.snapshotDiff(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -2583,7 +2592,61 @@ object SparkEntry {
         |   - CAST(round(ln(CAST(c AS DOUBLE)) * 10000) AS BIGINT)
         |   + CAST(round(ln(CAST(t AS DOUBLE)) * 10000) AS BIGINT))) // ts) AS BIGINT) AS kl_q4
         |FROM st JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN tot
-        |GROUP BY st.source, ts ORDER BY st.source""".stripMargin)
+        |GROUP BY st.source, ts ORDER BY st.source""".stripMargin,
+    // x88: x78's tokenization, DISTINCT per source; containment bp =
+    // shared DIV min vocab (the x41 convention)
+    "x88_source_overlap" ->
+      """WITH st AS (
+        | SELECT DISTINCT source, t AS w FROM (
+        |  SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+        |  FROM documents) WHERE t <> ''),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms FROM st GROUP BY 1),
+        |shared AS (
+        | SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS shared_terms
+        | FROM st a JOIN st b USING (w) WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared_terms,
+        | sa.n_terms AS n_a, sb.n_terms AS n_b,
+        | CAST(shared_terms * 10000 // least(sa.n_terms, sb.n_terms) AS BIGINT) AS containment_bp
+        |FROM shared JOIN sizes sa ON source_a = sa.source
+        |            JOIN sizes sb ON source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+    // x89: quantile_cont over a list ≡ Spark percentile(array(...))
+    // (x24's proof per element); bucket = 1 + fences strictly below
+    "x89_difficulty_buckets" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, list_filter(string_split($normSql, ' '), t -> t <> '') AS ts
+         | FROM documents),
+         |scored AS (
+         | SELECT doc_id,
+         |  CAST(CASE WHEN len(ts) > 0
+         |       THEN list_sum(list_transform(ts, t -> length(t))) * 10000 // len(ts)
+         |       ELSE 0 END AS BIGINT) AS difficulty_bp
+         | FROM toks),
+         |f AS (SELECT quantile_cont(difficulty_bp,
+         |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS fs FROM scored)
+         |SELECT doc_id, difficulty_bp,
+         | CAST(1 + len(list_filter(fs, x -> difficulty_bp > x)) AS BIGINT) AS bucket
+         |FROM scored, f ORDER BY doc_id""".stripMargin,
+    // x90: same deterministic snapshot synthesis (old drops every
+    // 11th, new drops id≡3 mod 7 and revises every 13th); full outer
+    // join on the key
+    "x90_snapshot_diff" ->
+      s"""WITH oldsnap AS (
+         | SELECT doc_id, md5($normSql) AS fp_old FROM documents WHERE doc_id % 11 <> 0),
+         |newsnap AS (
+         | SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(
+         |    CASE WHEN doc_id % 13 = 0 THEN text || ' revised' ELSE text END),
+         |    '\\s+', ' ', 'g'))) AS fp_new
+         | FROM documents WHERE doc_id % 7 <> 3)
+         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         | CASE WHEN o.doc_id IS NULL THEN 'added'
+         |      WHEN n.doc_id IS NULL THEN 'removed'
+         |      WHEN fp_old <> fp_new THEN 'modified'
+         |      ELSE 'unchanged' END AS status
+         |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+         |ORDER BY doc_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

@@ -3402,6 +3402,101 @@ object TrainingOps {
       .orderBy("vec_id", "i")
   }
 
+  /** Source-pair vocabulary overlap — the cross-source contamination /
+    * redundancy diagnostic next to x87's KL (KL sees distribution
+    * shift; this sees SHARED CONTENT): for every source pair, how many
+    * distinct terms they share, plus containment in basis points
+    * against the smaller vocabulary (the x41 containment convention).
+    * Scale shape: one distinct (source, term) projection, a term-keyed
+    * self-join whose per-term fan-out is bounded by sources² (sources
+    * are few — this is the x13 band join with a guaranteed-small key
+    * domain), and sources-sized aggregates re-entering by broadcast. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val (out, st) = sourceOverlapPlan(docs)
+    try out.localCheckpoint(true) finally st.unpersist()
+  }
+
+  /** Lazy pipeline + the distinct (source, term) cache that feeds the
+    * vocabulary sizes and BOTH self-join sides (three references — the
+    * x87 single-materialization shape). */
+  private[graft] def sourceOverlapPlan(docs: DataFrame): (DataFrame, DataFrame) = {
+    val st = docs.select(col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "").distinct().persist()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n_terms"))
+    val shared = st.join(st.select(col("source").as("source_b"), col("w")), "w")
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_terms"))
+    val out = shared
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_terms").as("n_a"))),
+        "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_terms").as("n_b"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_terms"),
+        col("n_a"), col("n_b"),
+        expr("shared_terms * 10000 DIV least(n_a, n_b)").as("containment_bp"))
+      .orderBy("source_a", "source_b")
+    (out, st)
+  }
+
+  /** Curriculum difficulty deciles — the bucket assignment a staged
+    * training run reads (easy shards first): difficulty = mean word
+    * length in integer basis points (longer words ≈ harder text; any
+    * integer score plugs in), bucket = 1 + count of in-plan decile
+    * fences strictly below the score (the x45 percentile-band shape
+    * generalized to 10 bands — fences are ONE 9-quantile aggregate
+    * re-entering by broadcast, never a global ntile window, which
+    * would funnel the corpus through one sort partition). Exact
+    * percentile ≡ quantile_cont (x24); at 10^12 rows swap
+    * approx_percentile, same plan. */
+  def difficultyBuckets(docs: DataFrame): DataFrame = {
+    val toks = filter(split(normText(col("text")), " "), t => t =!= "")
+    val scored = docs.select(col("doc_id"),
+        size(toks).cast(LongType).as("n_toks"),
+        aggregate(transform(toks, t => length(t).cast(LongType)),
+          lit(0L), (a, b) => a + b).as("n_chars"))
+      .select(col("doc_id"),
+        when(col("n_toks") > 0, expr("n_chars * 10000 DIV n_toks"))
+          .otherwise(0L).as("difficulty_bp"))
+    val fences = scored.agg(
+      expr("percentile(difficulty_bp, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("fs"))
+    scored.crossJoin(broadcast(fences))
+      .select(col("doc_id"), col("difficulty_bp"),
+        (lit(1L) + size(filter(col("fs"),
+          f => col("difficulty_bp").cast(DoubleType) > f)).cast(LongType))
+          .as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus snapshot diff — the incremental-ingest audit between two
+    * crawls: per doc_id, whether it was added, removed, modified
+    * (normalized-text fingerprint changed), or unchanged. The two
+    * snapshots are synthesized deterministically from the documents
+    * table (old = docs except every 11th; new = docs except every
+    * doc_id ≡ 3 mod 7, with every 13th's text perturbed) so every
+    * branch — including removed — gets traffic. Scale shape:
+    * two map-only fingerprint projections and ONE full-outer equi-join
+    * on the primary key — no windows, no skew (doc_id is unique). */
+  def snapshotDiff(docs: DataFrame): DataFrame = {
+    val fp = md5(normText(col("text")))
+    val oldSnap = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(col("doc_id"), fp.as("fp_old"))
+    val newSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      .select(col("doc_id"),
+        md5(normText(when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" revised")))
+          .otherwise(col("text")))).as("fp_new"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "modified")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
   def eventAnomalies(events: DataFrame): DataFrame =
     anomalyFlagsCore(events, eventFences(events)).orderBy("event_id")
 

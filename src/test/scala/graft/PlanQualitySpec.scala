@@ -378,6 +378,20 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally st.unpersist()
   }
 
+  test("x88: one cached distinct (source, term) table feeds the sizes and both self-join sides") {
+    val (df, st) = graft.ops.TrainingOps.sourceOverlapPlan(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+        s"sizes and both self-join sides must read the cache:\n$p")
+      val plain = df.queryExecution.executedPlan.collectLeaves()
+        .count(l => !l.toString().contains("InMemoryTableScan"))
+      assert(plain == 0,
+        s"the tokenize+distinct must run once, inside the cache:\n$p")
+    } finally st.unpersist()
+  }
+
   test("x22/x23: as-of and range joins are equi-joins, never nested loops") {
     for (n <- Seq("x22_asof_join", "x23_range_join")) {
       val p = plan(n)

@@ -2149,4 +2149,62 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("s3")._2 > got("s1")._2 && got("s3")._2 > 0,
       s"concentrated source must dominate: $got")
   }
+
+  // --- source overlap + difficulty buckets + snapshot diff (x88-x90) ----------
+
+  test("sourceOverlap: planted shared vocab; zero-overlap pairs absent; containment vs min") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "beta gamma delta", "s2"),
+      (3L, "zeta", "s3")).toDF("doc_id", "text", "source")
+    val got = TrainingOps.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(("s1", "s2") -> ((2L, 3L, 3L, 6666L))),
+      s"only the overlapping pair may appear: $got")
+  }
+
+  test("difficultyBuckets: deciles match a JVM quantile_cont recompute; uniform scores spread 1..10") {
+    val ss = spark
+    import ss.implicits._
+    // doc i's single word has length i+1 → difficulty (i+1)*10000, all distinct
+    val docs = (0L until 10L).map(i => (i, "x" * (i.toInt + 1))).toDF("doc_id", "text")
+    val vals = (1 to 10).map(_ * 10000L)
+    def qc(q: Double): Double = {
+      val pos = (vals.size - 1) * q
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      vals(lo) + (pos - lo) * (vals(hi) - vals(lo))
+    }
+    val fences = (1 to 9).map(k => qc(k / 10.0))
+    val exp = (0L until 10L).map { i =>
+      val v = (i + 1) * 10000L
+      i -> ((v, 1L + fences.count(f => v > f)))
+    }.toMap
+    val got = TrainingOps.difficultyBuckets(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    assert(got.values.map(_._2).toSeq.sorted == (1L to 10L),
+      s"uniform distinct scores must fill each decile once: $got")
+  }
+
+  test("snapshotDiff: added/removed/modified/unchanged all decided per key") {
+    val ss = spark
+    import ss.implicits._
+    val docs = (0L until 30L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val got = TrainingOps.snapshotDiff(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // old drops %11==0; new drops %7==3 and revises %13==0
+    assert(got(0L) == "added", "0 is absent from old (0%11), revised in new")
+    assert(got(11L) == "added")
+    assert(got(13L) == "modified", "13 is in both, text revised in new")
+    assert(got(26L) == "modified")
+    assert(got(3L) == "removed", "3 ≡ 3 mod 7 is absent from new")
+    assert(got(10L) == "removed")
+    assert(got(1L) == "unchanged" && got(2L) == "unchanged")
+    assert(got(22L) == "added", "22 is absent from old (22%11=0) but in new (22%7=1)")
+    assert(got.values.toSet == Set("added", "removed", "modified", "unchanged"),
+      s"every branch must get traffic: ${got.values.toSet}")
+  }
 }
