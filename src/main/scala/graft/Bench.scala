@@ -143,7 +143,11 @@ object Bench {
       // round-5: cluster centroids, link degrees, source KL, source
       // overlap, difficulty deciles, snapshot diff
       "x85_cluster_centroids", "x86_link_degrees", "x87_source_kl",
-      "x88_source_overlap", "x89_difficulty_buckets", "x90_snapshot_diff")
+      "x88_source_overlap", "x89_difficulty_buckets", "x90_snapshot_diff",
+      // round-5 close: leakage-safe split, BPE merges, score correlation,
+      // semantic decontamination, hard negatives, winsorized z-scores
+      "x91_leakage_split", "x92_bpe_merges", "x93_score_corr",
+      "x94_semantic_decon", "x95_hard_negatives", "x96_winsorize_scores")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

@@ -627,6 +627,25 @@ object SparkEntry {
     // snapshot diff: added/removed/modified/unchanged per doc_id
     "x90_snapshot_diff" -> ((s, dir) =>
       TrainingOps.snapshotDiff(s.read.parquet(t(dir, "documents")))),
+    // leakage-safe train/val split: near-dup components co-assigned
+    "x91_leakage_split" -> ((s, dir) =>
+      TrainingOps.leakageSplit(s.read.parquet(t(dir, "documents")))),
+    // first-6 BPE merge rules (distributed tokenizer training)
+    "x92_bpe_merges" -> ((s, dir) =>
+      TrainingOps.bpeMerges(s.read.parquet(t(dir, "documents")))),
+    // per-source Pearson correlation between two quality signals
+    "x93_score_corr" -> ((s, dir) =>
+      TrainingOps.scoreCorrelation(s.read.parquet(t(dir, "documents")))),
+    // embedding-space benchmark decontamination (banded corpus×bench
+    // join over the planted-cluster view — the x34/x52 oracle regime)
+    "x94_semantic_decon" -> ((s, dir) =>
+      TrainingOps.semanticDecontaminate(clusteredEmbeddings(s, dir))),
+    // hard-negative mining: bucketed top-k in a similarity band
+    "x95_hard_negatives" -> ((s, dir) =>
+      TrainingOps.hardNegatives(s.read.parquet(t(dir, "embeddings")))),
+    // per-source winsorized z-scores (cross-source calibration)
+    "x96_winsorize_scores" -> ((s, dir) =>
+      TrainingOps.winsorizeScores(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1283,6 +1302,42 @@ object SparkEntry {
        |SELECT comp AS component, count(*) AS n_docs, max(id) AS max_doc FROM (
        | SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
        |GROUP BY comp ORDER BY component""".stripMargin
+
+  /** K-step BPE merge chain unrolled as CTEs (w0 → p1/r1/w1 → … — the
+    * x66 convention: an iterative algorithm becomes bit-portable when
+    * each iteration is a deterministic CTE). Symbol strings carry '|'
+    * boundary sentinels so a pair pattern can never match inside a
+    * multi-char symbol; argmax ties break via min(-cnt, pair). */
+  private def bpeOracleSql(steps: Int): String = {
+    val head =
+      """WITH wc AS (
+        | SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |  FROM documents)
+        | WHERE w <> '' GROUP BY w),
+        |w0 AS (SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS sym, freq
+        |       FROM wc)""".stripMargin
+    val stepCtes = (1 to steps).map { k =>
+      s""",
+         |p$k AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest([s[i] || '|' || s[i+1] FOR i IN range(1, len(s))]) AS pair,
+         |         freq
+         |  FROM (SELECT list_filter(regexp_split_to_array(sym, '\\|'),
+         |               x -> x <> '') AS s, freq
+         |        FROM w${k - 1}) WHERE len(s) >= 2) GROUP BY pair),
+         |r$k AS (SELECT CAST($k AS BIGINT) AS step,
+         |  COALESCE((min(struct_pack(nc := -cnt, p := pair))).p, '~|~') AS pair,
+         |  CAST(COALESCE(-(min(struct_pack(nc := -cnt, p := pair))).nc, 0)
+         |       AS BIGINT) AS cnt
+         |  FROM p$k),
+         |w$k AS (SELECT replace(sym, '|' || pair || '|',
+         |          '|' || replace(pair, '|', '') || '|') AS sym, freq
+         |        FROM w${k - 1} CROSS JOIN r$k)""".stripMargin
+    }.mkString
+    val union = (1 to steps).map(k => s"SELECT step, pair, cnt FROM r$k")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+    head + stepCtes + union
+  }
 
   private def langIdSql: String = {
     val idPresence = graft.lib.Language.idKeywords
@@ -2646,7 +2701,134 @@ object SparkEntry {
          |      WHEN fp_old <> fp_new THEN 'modified'
          |      ELSE 'unchanged' END AS status
          |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    // x91: per-doc min-label from the same recursive-CTE reachability
+    // x14/x37 verify against; singletons default to their own doc_id;
+    // the fold hash is the first-8-hex-digits md5 integer convention
+    "x91_leakage_split" ->
+      s"""WITH RECURSIVE $jaccardCoreCtes,
+         |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (
+         | SELECT id_a AS a, id_b AS b FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+         | UNION
+         | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+         |SELECT d.doc_id AS doc_id,
+         | COALESCE(lab.comp, d.doc_id) AS component,
+         | CASE WHEN CAST(('0x' || substr(md5('split:' ||
+         |        CAST(COALESCE(lab.comp, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT)
+         |        % 10 = 0
+         |      THEN 'val' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    // x92: the K-step merge chain unrolled as CTEs (the x66 fixed-point
+    // convention for iterative algorithms); same sentinel degradation
+    "x92_bpe_merges" -> bpeOracleSql(6),
+    // x93: the same six BIGINT sums, the same double-cast order
+    "x93_score_corr" ->
+      s"""WITH sc AS (
+         | SELECT source,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000
+         |    // greatest(length(text), 1) AS BIGINT) AS x,
+         |  list_filter(string_split($normSql, ' '), t -> t <> '') AS ts
+         | FROM documents),
+         |sc2 AS (
+         | SELECT source, x,
+         |  CAST(CASE WHEN len(ts) > 0
+         |       THEN list_sum(list_transform(ts, t -> length(t))) * 10000 // len(ts)
+         |       ELSE 0 END AS BIGINT) AS y
+         | FROM sc),
+         |sums AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+         |  CAST(sum(y*y) AS BIGINT) AS syy
+         | FROM sc2 GROUP BY source)
+         |SELECT source, n,
+         | round(CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |                   - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+         |                 (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+         |                   - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0
+         |   THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+         |          - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+         |        sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |               - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+         |             (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+         |               - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+         |   ELSE 0 END, 4) AS corr
+         |FROM sums ORDER BY source""".stripMargin,
+    // x94: x34's band CTEs restricted to corpus-side × bench-side, then
+    // the x64 struct-max argmax attribution
+    "x94_semantic_decon" ->
+      s"""WITH $clustEmbCte,
+         |sigs AS (${embedLshSigSqlFrom("cemb", "embedding")}),
+         |banded AS (SELECT vec_id,
+         |  unnest([{'band': b, 'key': (lsh_sig >> (b*12)) & 4095} FOR b IN range(0, 4)],
+         |         recursive := true)
+         | FROM sigs),
+         |cand AS (SELECT DISTINCT c.vec_id AS c_id, b.vec_id AS b_id
+         |         FROM banded c JOIN banded b USING (band, key)
+         |         WHERE c.vec_id % 50 <> 0 AND b.vec_id % 50 = 0),
+         |scored AS (SELECT c_id, b_id,
+         |  round(list_dot_product(ec.embedding, eb.embedding) /
+         |   (sqrt(list_dot_product(ec.embedding, ec.embedding)) *
+         |    sqrt(list_dot_product(eb.embedding, eb.embedding))), 3) AS sim
+         | FROM cand JOIN cemb ec ON ec.vec_id = c_id JOIN cemb eb ON eb.vec_id = b_id),
+         |hits AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |  max(struct_pack(s := sim, nb := -b_id)) AS m
+         | FROM scored WHERE sim >= 0.9 GROUP BY c_id)
+         |SELECT c_id AS vec_id, n_hits, m.s AS best_sim,
+         | CAST(-m.nb AS BIGINT) AS best_bench
+         |FROM hits ORDER BY vec_id""".stripMargin,
+    // x95: coarse bucket key = low 8 bits of the raw-embedding sign
+    // signature; per-anchor top-3 inside the [0.25, 0.9) cosine band
+    "x95_hard_negatives" ->
+      s"""WITH sigs AS ($embedLshSigSql),
+         |keyed AS (SELECT vec_id, lsh_sig & 255 AS ck FROM sigs),
+         |cand AS (SELECT a.vec_id AS a_id, n.vec_id AS n_id
+         |         FROM keyed a JOIN keyed n USING (ck)
+         |         WHERE a.vec_id <> n.vec_id),
+         |scored AS (SELECT a_id, n_id,
+         |  round(list_dot_product(ea.embedding::DOUBLE[], en.embedding::DOUBLE[]) /
+         |   (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+         |    sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[]))), 3) AS sim
+         | FROM cand JOIN embeddings ea ON ea.vec_id = a_id
+         |           JOIN embeddings en ON en.vec_id = n_id),
+         |ranked AS (SELECT a_id, n_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, n_id)
+         |       AS BIGINT) AS rk
+         | FROM scored WHERE sim >= 0.25 AND sim < 0.9)
+         |SELECT a_id, n_id, sim, rk FROM ranked WHERE rk <= 3
+         |ORDER BY a_id, rk""".stripMargin,
+    // x96: quantile_cont fences ≡ Spark percentile (x24), integer
+    // clamp, then the same double-cast z formula as x93
+    "x96_winsorize_scores" ->
+      """WITH sc AS (SELECT doc_id, source,
+        |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000
+        |    // greatest(length(text), 1) AS BIGINT) AS score
+        | FROM documents),
+        |f AS (SELECT source,
+        |  CAST(ceil(quantile_cont(score, 0.05)) AS BIGINT) AS lo,
+        |  CAST(floor(quantile_cont(score, 0.95)) AS BIGINT) AS hi
+        | FROM sc GROUP BY source),
+        |cl AS (SELECT doc_id, sc.source AS source, score,
+        |  least(greatest(score, lo), hi) AS w
+        | FROM sc JOIN f ON sc.source = f.source),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w*w) AS BIGINT) AS sww
+        | FROM cl GROUP BY source)
+        |SELECT doc_id, cl.source AS source, score, w AS winsorized,
+        | round(CASE WHEN CAST(n AS DOUBLE)*CAST(sww AS DOUBLE)
+        |                  - CAST(sw AS DOUBLE)*CAST(sw AS DOUBLE) > 0
+        |   THEN (CAST(n AS DOUBLE)*CAST(w AS DOUBLE) - CAST(sw AS DOUBLE)) /
+        |        sqrt(CAST(n AS DOUBLE)*CAST(sww AS DOUBLE)
+        |              - CAST(sw AS DOUBLE)*CAST(sw AS DOUBLE))
+        |   ELSE 0 END, 4) AS z
+        |FROM cl JOIN st ON cl.source = st.source
+        |ORDER BY doc_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

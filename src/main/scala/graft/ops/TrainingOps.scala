@@ -3521,4 +3521,261 @@ object TrainingOps {
         round(col("lo"), 4).as("lo_fence"), round(col("hi"), 4).as("hi_fence"),
         when(col("value") < col("lo") || col("value") > col("hi"), 1L)
           .otherwise(0L).as("is_anomaly"))
+
+  /** Leakage-safe train/validation split — the assignment a
+    * contamination-aware training run needs: near-duplicate documents
+    * must land on the SAME side, or validation loss is measured on
+    * memorized text. Components come from the banded-minhash near-dup
+    * graph (x13 pairs → x37's O(log n) star contraction); documents
+    * outside every pair are their own singleton component. The fold is
+    * a stable md5 over the component label, so re-running on a grown
+    * corpus never reshuffles surviving components (labels are min
+    * doc_ids). Scale shape: the pair/contraction machinery is x37's
+    * (adjudicated safe); the rest is one left join on the primary key
+    * plus a map-only hash — no windows, no new shuffles. */
+  def leakageSplit(docs: DataFrame, threshold: Double = 0.8,
+                   valFolds: Long = 10L): DataFrame = {
+    val pairs = jaccardNearDupPairs(docs, threshold).select("id_a", "id_b")
+    val (labels, labelIds, _) = connectedComponentsStarMembersWithRounds(pairs)
+    try {
+      docs.select(col("doc_id"))
+        .join(labels.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("component"))
+        .select(col("doc_id"), col("component"),
+          when(conv(substring(md5(concat(lit("split:"),
+              col("component").cast("string"))), 1, 8), 16, 10)
+              .cast(LongType) % valFolds === 0L, "val")
+            .otherwise("train").as("split"))
+        .orderBy("doc_id")
+        .localCheckpoint(true) // materialized before the labels release
+    } finally releaseRdds(labels, labelIds)
+  }
+
+  /** First-K BPE merge learning — the tokenizer-training half of the
+    * pipeline, distributed: word frequencies are the only corpus-sized
+    * aggregate (map-side combinable, computed ONCE and cached); each
+    * merge step is one pair-count aggregate over the vocabulary plus a
+    * single-row argmax pulled to the driver (the bounded-collect class:
+    * one (pair, count) row per step, like annLsh's query signature),
+    * and the merge application is a map-only literal replace. Symbol
+    * strings are '|'-delimited with boundary sentinels ('|t|h|e|'), so
+    * a pair pattern '|t|h|' can never match inside a multi-char symbol;
+    * replacement is the leftmost non-overlapping scan BOTH engines
+    * implement, i.e. textbook greedy BPE except that an odd run of the
+    * same pair ('aaa') merges once per scan pass — deterministic and
+    * identical across engines, documented rather than hidden. Ties
+    * break to the lexicographically smallest pair via min over
+    * (-count, pair) — a total order. At 100 TB the vocabulary table is
+    * the tf-reduced word set (
+    * orders of magnitude smaller than the corpus), and K passes over
+    * it are K cheap jobs. */
+  def bpeMerges(docs: DataFrame, steps: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("sym"),
+        col("freq"))
+      .persist()
+    try {
+      var cur = words
+      val rules = Seq.newBuilder[(Long, String, Long)]
+      for (step <- 1 to steps) {
+        val syms = filter(split(col("sym"), "\\|"), x => x =!= "")
+        val pairsCol = when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i), lit("|"), element_at(syms, i + 1))))
+          .otherwise(typedLit(Seq.empty[String]))
+        val best = cur.select(explode(pairsCol).as("pair"), col("freq"))
+          .groupBy("pair").agg(sum("freq").as("cnt"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p"))).as("m"))
+          .select(col("m.p"), col("m.nc")).head()
+        // a vocabulary can run out of pairs before K steps (every word a
+        // single symbol): emit a sentinel rule that matches nothing, the
+        // same degradation the oracle's COALESCE encodes
+        val (p, cnt) =
+          if (best.isNullAt(0)) ("~|~", 0L)
+          else (best.getString(0), -best.getLong(1))
+        rules += ((step.toLong, p, cnt))
+        cur = cur.select(call_function("replace", col("sym"),
+          lit("|" + p + "|"), lit("|" + p.replace("|", "") + "|")).as("sym"),
+          col("freq"))
+      }
+      import spark.implicits._
+      rules.result().toDF("step", "pair", "cnt").orderBy("step")
+    } finally words.unpersist()
+  }
+
+  /** Per-source Pearson correlation between two document quality
+    * signals (alpha ratio vs mean word length, both integer basis
+    * points) — the feature-redundancy diagnostic a quality-classifier
+    * pipeline reads before adding a signal to the mix. Everything
+    * reduces to six BIGINT sums per source (map-side combinable, no
+    * windows); the correlation itself is computed from those sums in
+    * IEEE double with a fixed operation order, so both engines produce
+    * the identical rounded value. Zero-variance sources report 0. */
+  def scoreCorrelation(docs: DataFrame): DataFrame = {
+    val toks = filter(split(normText(col("text")), " "), t => t =!= "")
+    val scored = docs.select(col("source"),
+        expr("length(regexp_replace(text, '[^A-Za-z]', '')) * 10000" +
+          " DIV greatest(length(text), 1)").as("x"),
+        size(toks).cast(LongType).as("n_toks"),
+        aggregate(transform(toks, t => length(t).cast(LongType)),
+          lit(0L), (a, b) => a + b).as("n_tok_chars"))
+      .select(col("source"), col("x"),
+        when(col("n_toks") > 0, expr("n_tok_chars * 10000 DIV n_toks"))
+          .otherwise(0L).as("y"))
+    val sums = scored.groupBy("source").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast(DoubleType)
+    val sxd = col("sx").cast(DoubleType); val syd = col("sy").cast(DoubleType)
+    val num = nd * col("sxy").cast(DoubleType) - sxd * syd
+    val den = (nd * col("sxx").cast(DoubleType) - sxd * sxd) *
+      (nd * col("syy").cast(DoubleType) - syd * syd)
+    sums.select(col("source"), col("n"),
+        round(when(den > 0d, num / sqrt(den)).otherwise(lit(0d)), 4)
+          .as("corr"))
+      .orderBy("source")
+  }
+
+  /** Embedding-space decontamination — the semantic sibling of the
+    * x19/x39 gram-overlap gates: paraphrased benchmark text shares no
+    * 13-gram but sits next to the benchmark in embedding space. The
+    * held-out set is the `benchMod`-periodic slice of the corpus
+    * (deterministic, every cluster class gets bench representatives);
+    * candidates come from the x34 band join restricted to
+    * corpus-side × bench-side (never corpus × corpus), so the
+    * candidate count is bounded by bench-band occupancy — at 100 TB
+    * the benchmark side is tiny and the corpus never self-joins.
+    * Flagged docs carry hit count and the best-matching bench vector
+    * (struct-max argmax: max sim, ties to the smallest bench id). */
+  def semanticDecontaminate(embeddings: DataFrame, benchMod: Long = 50L,
+                            threshold: Double = 0.9, bits: Int = 48,
+                            nBands: Int = 4): DataFrame = {
+    val (plan, caches) =
+      semanticDecontaminatePlan(embeddings, benchMod, threshold, bits, nBands)
+    try plan.localCheckpoint(true) finally caches.foreach(_.unpersist())
+  }
+
+  /** Lazy plan + the banded-signature cache both join sides read. */
+  private[graft] def semanticDecontaminatePlan(
+      embeddings: DataFrame, benchMod: Long = 50L, threshold: Double = 0.9,
+      bits: Int = 48, nBands: Int = 4): (DataFrame, Seq[DataFrame]) = {
+    require(bits % nBands == 0, s"bits=$bits must split into $nBands bands")
+    val bandBits = bits / nBands
+    val bandMask = (1L << bandBits) - 1
+    val banded = embeddingLshSignatures(embeddings, bits)
+      .select(col("vec_id"),
+        posexplode(array((0 until nBands).map { i =>
+          call_function("shiftright", col("lsh_sig"), lit(i * bandBits))
+            .bitwiseAND(bandMask)
+        }: _*)).as(Seq("band", "key")))
+      .persist()
+    val isBench = pmod(col("vec_id"), lit(benchMod)) === 0L
+    val cands = banded.filter(!isBench)
+      .select(col("band"), col("key"), col("vec_id").as("c_id"))
+      .join(banded.filter(isBench)
+        .select(col("band"), col("key"), col("vec_id").as("b_id")),
+        Seq("band", "key"))
+      .select("c_id", "b_id").distinct()
+    val emb = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val out = cands
+      .join(emb.select(col("vec_id").as("c_id"), col("v").as("vc")), Seq("c_id"))
+      .join(emb.select(col("vec_id").as("b_id"), col("v").as("vb")), Seq("b_id"))
+      .select(col("c_id"), col("b_id"),
+        round(cosine(col("vc"), col("vb")), 3).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("c_id").agg(count(lit(1)).as("n_hits"),
+        max(struct(col("sim").as("s"), (-col("b_id")).as("nb"))).as("m"))
+      .select(col("c_id").as("vec_id"), col("n_hits"),
+        col("m.s").as("best_sim"), (-col("m.nb")).as("best_bench"))
+      .orderBy("vec_id")
+    (out, Seq(banded))
+  }
+
+  /** Hard-negative mining for retrieval training: per anchor, the
+    * top-k most-similar NON-duplicate neighbors inside a coarse LSH
+    * bucket (the low `bucketBits` of the 48-bit sign signature) whose
+    * cosine falls in [lo, hi) — similar enough to be hard, below the
+    * near-dup line. Candidates are bucket-joined (never all-pairs);
+    * the per-anchor top-k is a row_number over the anchor key, whose
+    * partition size is bounded by bucket occupancy (WindowGroupLimit
+    * pushes the k-cut into the shuffle — the x31 shape). At crawl
+    * scale a hot bucket gets the x41 df-cap treatment; bucket width is
+    * the tuning knob. */
+  def hardNegatives(embeddings: DataFrame, bucketBits: Int = 8,
+                    lo: Double = 0.25, hi: Double = 0.9,
+                    k: Int = 3): DataFrame = {
+    val (plan, caches) = hardNegativesPlan(embeddings, bucketBits, lo, hi, k)
+    try plan.localCheckpoint(true) finally caches.foreach(_.unpersist())
+  }
+
+  /** Lazy plan + the bucket-key cache both join sides read. */
+  private[graft] def hardNegativesPlan(
+      embeddings: DataFrame, bucketBits: Int = 8, lo: Double = 0.25,
+      hi: Double = 0.9, k: Int = 3): (DataFrame, Seq[DataFrame]) = {
+    require(bucketBits >= 1 && bucketBits <= 48)
+    val keyed = embeddingLshSignatures(embeddings)
+      .select(col("vec_id"),
+        col("lsh_sig").bitwiseAND(lit((1L << bucketBits) - 1)).as("ck"))
+      .persist()
+    val cands = keyed.select(col("ck"), col("vec_id").as("a_id"))
+      .join(keyed.select(col("ck"), col("vec_id").as("n_id")), Seq("ck"))
+      .filter(col("a_id") =!= col("n_id"))
+      .select("a_id", "n_id")
+    val emb = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val scored = cands
+      .join(emb.select(col("vec_id").as("a_id"), col("v").as("va")), Seq("a_id"))
+      .join(emb.select(col("vec_id").as("n_id"), col("v").as("vn")), Seq("n_id"))
+      .select(col("a_id"), col("n_id"),
+        round(cosine(col("va"), col("vn")), 3).as("sim"))
+      .filter(col("sim") >= lo && col("sim") < hi)
+    val w = Window.partitionBy("a_id").orderBy(desc("sim"), col("n_id"))
+    val out = scored
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .orderBy("a_id", "rk")
+    (out, Seq(keyed))
+  }
+
+  /** Per-source winsorized z-scores — the calibration step that makes
+    * quality scores comparable ACROSS sources before a global cut
+    * (sources have different score distributions; a raw global
+    * threshold keeps the verbose source and drops the terse one).
+    * Scores clamp to the source's [ceil(p05), floor(p95)] integer
+    * fences (one percentile aggregate re-entering by broadcast — the
+    * x45/x89 shape; swap approx_percentile at 10^12 rows, same plan),
+    * then standardize from per-source integer sums: z = (n·w − Σw) /
+    * sqrt(n·Σw² − (Σw)²), every product cast to double in a fixed
+    * order so the rounded value is engine-portable. Zero-variance
+    * sources report z = 0. */
+  def winsorizeScores(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      expr("length(regexp_replace(text, '[^A-Za-z]', '')) * 10000" +
+        " DIV greatest(length(text), 1)").as("score"))
+    val fences = scored.groupBy("source").agg(
+      ceil(expr("percentile(score, 0.05)")).cast(LongType).as("lo"),
+      floor(expr("percentile(score, 0.95)")).cast(LongType).as("hi"))
+    val clamped = scored.join(broadcast(fences), "source")
+      .select(col("doc_id"), col("source"), col("score"),
+        least(greatest(col("score"), col("lo")), col("hi")).as("w"))
+    val stats = clamped.groupBy("source").agg(
+      count(lit(1)).as("n"), sum("w").as("sw"),
+      sum(col("w") * col("w")).as("sww"))
+    val nd = col("n").cast(DoubleType)
+    val swd = col("sw").cast(DoubleType)
+    val num = nd * col("w").cast(DoubleType) - swd
+    val den = nd * col("sww").cast(DoubleType) - swd * swd
+    clamped.join(broadcast(stats), "source")
+      .select(col("doc_id"), col("source"), col("score"),
+        col("w").as("winsorized"),
+        round(when(den > 0d, num / sqrt(den)).otherwise(lit(0d)), 4).as("z"))
+      .orderBy("doc_id")
+  }
 }

@@ -659,4 +659,39 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"),
       s"no aggregation/join shuffle in a map-only op:\n$p")
   }
+
+  test("x95: per-anchor top-k pushes a partial group limit; buckets equi-join off one cache") {
+    val (df, caches) = graft.ops.TrainingOps.hardNegativesPlan(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+        s"rk<=k must push a partial per-partition group limit:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"bucket candidates must come from an equi-join:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"both bucket-join sides must read the one cached key table:\n$p")
+    } finally caches.foreach(_.unpersist())
+  }
+
+  test("x94: decontamination candidates are corpus x bench band pairs, never a corpus self-join") {
+    val (df, caches) = graft.ops.TrainingOps.semanticDecontaminatePlan(
+      SparkEntry.clusteredEmbeddings(spark, sfDir))
+    try {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"band candidates must come from an equi-join:\n$p")
+      assert(p.contains("pmod"),
+        s"the bench/corpus periodic split must gate both band sides:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"both band sides must read the one cached signature table:\n$p")
+    } finally caches.foreach(_.unpersist())
+  }
+
+  test("x96: fence and stats aggregates re-enter by broadcast") {
+    val p = plan("x96_winsorize_scores")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"both tiny per-source aggregates must broadcast back:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

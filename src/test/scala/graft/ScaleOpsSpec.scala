@@ -2207,4 +2207,208 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.toSet == Set("added", "removed", "modified", "unchanged"),
       s"every branch must get traffic: ${got.values.toSet}")
   }
+
+  test("leakageSplit: exact-dup groups co-split; folds match the JVM md5 recompute") {
+    val ss = spark
+    import ss.implicits._
+    // 3 planted groups of identical docs (jaccard 1.0 → same component,
+    // label = group min id) + distinct singletons (own component)
+    val body = (g: Int) => (0 until 30).map(w => s"w$g$w").mkString(" ")
+    val docs = (
+      Seq((0L, body(0)), (1L, body(0)), (2L, body(0)),
+          (10L, body(1)), (11L, body(1)),
+          (20L, body(2)), (21L, body(2))) ++
+      (30L until 60L).map(i => (i, (0 until 30).map(w => s"u$i$w").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val got = TrainingOps.leakageSplit(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.size == 37, "every doc decided exactly once")
+    val expComp = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L) ++ (30L until 60L).map(i => i -> i).toMap
+    assert(got.view.mapValues(_._1).toMap == expComp,
+      s"components must be group-min labels: $got")
+    // fold = first-8-hex md5 integer of "split:<component>" mod 10
+    got.foreach { case (id, (comp, split)) =>
+      val exp = if (h32(s"split:$comp") % 10 == 0) "val" else "train"
+      assert(split == exp, s"doc $id comp $comp: got $split expected $exp")
+    }
+    // group members always co-split (implied by the fold recompute, made
+    // explicit: the property the operator exists for)
+    Seq(Seq(0L, 1L, 2L), Seq(10L, 11L), Seq(20L, 21L)).foreach { grp =>
+      assert(grp.map(got(_)._2).toSet.size == 1, s"group $grp straddles splits")
+    }
+  }
+
+  test("bpeMerges: K merge rules match a JVM BPE recompute; exhausted vocab degrades to sentinel") {
+    val ss = spark
+    import ss.implicits._
+    def jvmBpe(words: Map[String, Long], steps: Int): Seq[(Long, String, Long)] = {
+      var syms = words.toSeq.map { case (w, f) =>
+        ("|" + w.flatMap(c => s"$c|"), f)
+      }
+      (1 to steps).map { k =>
+        val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for ((sym, f) <- syms) {
+          val parts = sym.split("\\|").filter(_.nonEmpty)
+          if (parts.length >= 2)
+            parts.sliding(2).foreach(p => counts(p(0) + "|" + p(1)) += f)
+        }
+        val (pair, cnt) =
+          if (counts.isEmpty) ("~|~", 0L)
+          else {
+            val best = counts.toSeq.minBy { case (p, c) => (-c, p) }
+            (best._1, best._2)
+          }
+        syms = syms.map { case (sym, f) =>
+          (sym.replace("|" + pair + "|", "|" + pair.replace("|", "") + "|"), f)
+        }
+        (k.toLong, pair, cnt)
+      }
+    }
+    // repeated words with shared prefixes so merges interact (a learned
+    // symbol must participate in a later pair)
+    val docs = Seq(
+      (1L, "lower lower lowest newer newest newer"),
+      (2L, "low low lower wider wide widest"),
+      (3L, "er er er est est new new")).toDF("doc_id", "text")
+    val words = docs.collect().flatMap(_.getString(1).split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val exp = jvmBpe(words, 6)
+    val got = TrainingOps.bpeMerges(docs, 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == exp, s"got $got\nexp $exp")
+    assert(exp.exists(r => r._2.replace("|", "").length > 2),
+      "fixture must force a multi-char-symbol merge or the test is weak")
+    // single-char vocabulary: no pairs from step 1 → all sentinel rows
+    val flat = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val sent = TrainingOps.bpeMerges(flat, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sent == Seq((1L, "~|~", 0L), (2L, "~|~", 0L), (3L, "~|~", 0L)), s"$sent")
+  }
+
+  test("scoreCorrelation: per-source corr matches the JVM sums formula; zero variance reads 0") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      (1L, "aa bb", "s1"), (2L, "aaaa bbbb", "s1"), (3L, "a b c d", "s1"),
+      (4L, "same same", "s2"), (5L, "same same", "s2") // identical scores
+    ).toDF("doc_id", "text", "source")
+    def scores(text: String): (Long, Long) = {
+      val alpha = text.count(_.isLetter).toLong * 10000L / math.max(text.length, 1)
+      val ts = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
+      val y = if (ts.isEmpty) 0L else ts.map(_.length.toLong).sum * 10000L / ts.length
+      (alpha, y)
+    }
+    val xs = Seq("aa bb", "aaaa bbbb", "a b c d").map(scores)
+    val n = xs.size.toLong
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val syy = xs.map(p => p._2 * p._2).sum
+    val den = (n.toDouble * sxx - sx.toDouble * sx) * (n.toDouble * syy - sy.toDouble * sy)
+    val expS1 = BigDecimal((n.toDouble * sxy - sx.toDouble * sy) / math.sqrt(den))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TrainingOps.scoreCorrelation(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("s1") == ((3L, expS1)), s"got ${got("s1")} expected ($n, $expS1)")
+    assert(got("s2") == ((2L, 0.0)), s"zero-variance source must read 0: ${got("s2")}")
+  }
+
+  test("semanticDecontaminate: flags exactly the bench-covered planted clusters, best match attributed") {
+    val view = SparkEntry.clusteredEmbeddings(spark, sfMid)
+    val got = TrainingOps.semanticDecontaminate(view).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val n = view.count()
+    // bench = vec_id % 50 == 0 → clusters {0, 2, 4} have bench members;
+    // intra-cluster cosine on the planted view is >= 0.9 (the x52 regime)
+    val expected = (0L until n)
+      .filter(v => v % 50 != 0 && (v % 6) % 2 == 0).toSet
+    assert(got.keySet.subsetOf(expected),
+      s"flagged docs outside bench clusters: ${got.keySet -- expected}")
+    assert(got.size >= (expected.size * 95) / 100,
+      s"banding recall too low: ${got.size} of ${expected.size}")
+    got.foreach { case (v, (nHits, bestSim, bestBench)) =>
+      assert(bestBench % 50 == 0 && bestBench % 6 == v % 6,
+        s"doc $v attributed to bench $bestBench outside its cluster")
+      assert(bestSim >= 0.9 && nHits >= 1)
+    }
+  }
+
+  test("hardNegatives: per-anchor top-k matches a JVM in-bucket recompute") {
+    val emb = spark.read.parquet(s"$sfMid/embeddings.parquet")
+    val sigs = TrainingOps.embeddingLshSignatures(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1000) / 1000.0
+    }
+    val byBucket = sigs.keys.groupBy(v => sigs(v) & 255L)
+    val exp = (for {
+      (_, ids) <- byBucket.toSeq
+      a <- ids
+      ranked = ids.filter(_ != a)
+        .map(nid => (nid, cos(vecs(a), vecs(nid))))
+        .filter(p => p._2 >= 0.25 && p._2 < 0.9)
+        .toSeq.sortBy(p => (-p._2, p._1)).take(3).zipWithIndex
+      ((nid, sim), i) <- ranked
+    } yield (a, nid, sim, i + 1L)).toSet
+    val got = TrainingOps.hardNegatives(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == exp, s"got ${got.size} rows, expected ${exp.size}; " +
+      s"diff ${(got -- exp).take(3)} / ${(exp -- got).take(3)}")
+    assert(exp.nonEmpty, "fixture must produce hard-negative traffic")
+  }
+
+  test("winsorizeScores: clamp + z match a JVM recompute; constant source reads z=0") {
+    val ss = spark
+    import ss.implicits._
+    // source s1: scores spread with outliers at both ends (doc text is
+    // all-letters except padding dots, so score = alpha bp is controlled)
+    def doc(id: Long, letters: Int, total: Int, src: String) =
+      (id, "a" * letters + "." * (total - letters), src)
+    val docs = (
+      (0 until 20).map(i => doc(i.toLong, 50 + i, 100, "s1")) ++
+      Seq(doc(100L, 1, 100, "s1"), doc(101L, 99, 100, "s1")) ++
+      (0 until 4).map(i => doc(200L + i, 30, 100, "s2"))
+    ).toDF("doc_id", "text", "source")
+    val rows = docs.collect().map { r =>
+      val text = r.getString(1)
+      (r.getLong(0), r.getString(2),
+        text.count(_.isLetter).toLong * 10000L / math.max(text.length, 1))
+    }
+    def qc(vals: Seq[Long], q: Double): Double = {
+      val s = vals.sorted
+      val pos = (s.size - 1) * q
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      s(lo) + (pos - lo) * (s(hi) - s(lo))
+    }
+    val exp = rows.toSeq.groupBy(_._2).flatMap { case (src, rs) =>
+      val vals = rs.map(_._3).toSeq
+      val lo = math.ceil(qc(vals, 0.05)).toLong
+      val hi = math.floor(qc(vals, 0.95)).toLong
+      val ws = rs.map(r => (r._1, r._3, math.min(math.max(r._3, lo), hi)))
+      val n = ws.length.toLong
+      val sw = ws.map(_._3).sum
+      val sww = ws.map(w => w._3 * w._3).sum
+      val den = n.toDouble * sww - sw.toDouble * sw
+      ws.map { case (id, score, w) =>
+        val z = if (den > 0)
+          BigDecimal((n.toDouble * w - sw.toDouble) / math.sqrt(den))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+        id -> ((src, score, w, z))
+      }
+    }
+    val got = TrainingOps.winsorizeScores(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    assert(got(100L)._3 > got(100L)._2 && got(101L)._3 < got(101L)._2,
+      "outliers must clamp inward on both ends")
+    assert((200L until 204L).forall(id => got(id)._4 == 0.0),
+      "constant-score source must read z=0")
+  }
 }
