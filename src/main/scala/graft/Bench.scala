@@ -147,7 +147,8 @@ object Bench {
       // round-5 close: leakage-safe split, BPE merges, score correlation,
       // semantic decontamination, hard negatives, winsorized z-scores
       "x91_leakage_split", "x92_bpe_merges", "x93_score_corr",
-      "x94_semantic_decon", "x95_hard_negatives", "x96_winsorize_scores")
+      "x94_semantic_decon", "x95_hard_negatives", "x96_winsorize_scores",
+      "x97_gram_novelty", "x98_epoch_shards")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

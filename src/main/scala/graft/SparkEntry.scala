@@ -646,6 +646,15 @@ object SparkEntry {
     // per-source winsorized z-scores (cross-source calibration)
     "x96_winsorize_scores" -> ((s, dir) =>
       TrainingOps.winsorizeScores(s.read.parquet(t(dir, "documents")))),
+    // per-doc 13-gram novelty vs the x19 reference slice (memorization
+    // risk as a rate, not a gate)
+    "x97_gram_novelty" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+      TrainingOps.gramNovelty(d, d.filter(pmod(col("doc_id"), lit(97L)) === 0))
+    }),
+    // deterministic epoch shuffle: per-(epoch, doc) shard + sort key
+    "x98_epoch_shards" -> ((s, dir) =>
+      TrainingOps.epochShards(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -2828,7 +2837,37 @@ object SparkEntry {
         |              - CAST(sw AS DOUBLE)*CAST(sw AS DOUBLE))
         |   ELSE 0 END, 4) AS z
         |FROM cl JOIN st ON cl.source = st.source
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // x97: x19's gram CTEs with the semi-join turned LEFT — every doc
+    // decided, novelty as integer basis points
+    "x97_gram_novelty" -> {
+      val grams =
+        s"""list_distinct([CAST(('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 15)) AS BIGINT)
+           | FOR i IN range(1, greatest(len(toks)-12, 1)+1)])""".stripMargin
+      s"""WITH tok AS (
+         | SELECT doc_id, regexp_split_to_array($normSql, ' ') AS toks FROM documents),
+         |bset AS (
+         | SELECT DISTINCT unnest($grams) AS g FROM tok WHERE doc_id % 97 = 0),
+         |dg AS (
+         | SELECT doc_id, unnest($grams) AS g FROM tok),
+         |agg AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+         | FROM dg LEFT JOIN bset b ON dg.g = b.g GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_seen,
+         | (n_grams - n_seen) * 10000 // n_grams AS novelty_bp
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    // x98: the same md5 fold-hash convention; % on a non-negative key
+    // equals pmod
+    "x98_epoch_shards" ->
+      """WITH e AS (SELECT doc_id, unnest(range(0, 2)) AS epoch FROM documents),
+        |k AS (SELECT doc_id, epoch,
+        |  CAST(('0x' || substr(md5('ep:' || CAST(epoch AS VARCHAR) || ':' ||
+        |       CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS skey
+        | FROM e)
+        |SELECT doc_id, epoch, skey % 8 AS shard, skey
+        |FROM k ORDER BY epoch, doc_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

@@ -3755,27 +3755,98 @@ object TrainingOps {
     * sqrt(n·Σw² − (Σw)²), every product cast to double in a fixed
     * order so the rounded value is engine-portable. Zero-variance
     * sources report z = 0. */
-  def winsorizeScores(docs: DataFrame): DataFrame = {
-    val scored = docs.select(col("doc_id"), col("source"),
+  def winsorizeScores(docs: DataFrame): DataFrame =
+    calibrateCore(scoreProjection(docs), calibrationStats(docs))
+      .orderBy("doc_id")
+
+  /** The stateless per-doc score projection (alpha basis points) —
+    * shared by the batch x96 and the streaming twin, which runs it
+    * over live micro-batches. */
+  private[graft] def scoreProjection(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
       expr("length(regexp_replace(text, '[^A-Za-z]', '')) * 10000" +
         " DIV greatest(length(text), 1)").as("score"))
+
+  /** Per-source calibration table (winsor fences + the integer sums the
+    * z-score reads): one percentile aggregate re-entering by broadcast,
+    * then one aggregate over the clamped scores. Batch-only by nature
+    * (exact percentiles don't fold incrementally); the streaming twin
+    * computes it over a historical batch on a refresh cadence. */
+  private[graft] def calibrationStats(docs: DataFrame): DataFrame = {
+    val scored = scoreProjection(docs)
     val fences = scored.groupBy("source").agg(
       ceil(expr("percentile(score, 0.05)")).cast(LongType).as("lo"),
       floor(expr("percentile(score, 0.95)")).cast(LongType).as("hi"))
-    val clamped = scored.join(broadcast(fences), "source")
-      .select(col("doc_id"), col("source"), col("score"),
+    scored.join(broadcast(fences), "source")
+      .select(col("source"), col("lo"), col("hi"),
         least(greatest(col("score"), col("lo")), col("hi")).as("w"))
-    val stats = clamped.groupBy("source").agg(
-      count(lit(1)).as("n"), sum("w").as("sw"),
-      sum(col("w") * col("w")).as("sww"))
+      .groupBy("source", "lo", "hi").agg(
+        count(lit(1)).as("n"), sum("w").as("sw"),
+        sum(col("w") * col("w")).as("sww"))
+  }
+
+  /** Clamp + standardize against a calibration table — a stateless
+    * broadcast join + projection (no sort, no aggregation), so the
+    * same plan runs over a batch frame and a streaming one (the batch
+    * x96 adds the presentation sort on top — the anomalyFlagsCore
+    * convention). */
+  private[graft] def calibrateCore(scored: DataFrame,
+                                   calib: DataFrame): DataFrame = {
+    val w = least(greatest(col("score"), col("lo")), col("hi"))
     val nd = col("n").cast(DoubleType)
     val swd = col("sw").cast(DoubleType)
-    val num = nd * col("w").cast(DoubleType) - swd
+    val num = nd * w.cast(DoubleType) - swd
     val den = nd * col("sww").cast(DoubleType) - swd * swd
-    clamped.join(broadcast(stats), "source")
+    scored.join(broadcast(calib), "source")
       .select(col("doc_id"), col("source"), col("score"),
-        col("w").as("winsorized"),
+        w.as("winsorized"),
         round(when(den > 0d, num / sqrt(den)).otherwise(lit(0d)), 4).as("z"))
+  }
+
+  /** Per-document n-gram novelty against a reference corpus — the
+    * memorization-risk / freshness score a continual-pretraining run
+    * reads before adding a crawl snapshot: the fraction of the doc's
+    * DISTINCT word 13-grams unseen in the reference, in basis points.
+    * The x19 decontamination gate turned into a rate: the broadcast
+    * gram set joins LEFT so every document is decided (no reference
+    * evidence = fully novel), and the seen-marker sum is map-side
+    * combinable. The clamped-slice contract guarantees >= 1 gram per
+    * doc, so the DIV is total. */
+  def gramNovelty(docs: DataFrame, reference: DataFrame,
+                  n: Int = 13): DataFrame = {
+    val refGrams = benchmarkGrams(reference, n)
+      .select(col("g"), lit(1L).as("seen"))
+    docs.select(col("doc_id"),
+        explode(array_distinct(wordGramHashes(col("text"), n))).as("g"))
+      .join(broadcast(refGrams), Seq("g"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        expr("(n_grams - n_seen) * 10000 DIV n_grams").as("novelty_bp"))
       .orderBy("doc_id")
+  }
+
+  /** Deterministic epoch shuffle for training: every epoch assigns each
+    * document a pseudo-random sort key (the first-8-hex md5 integer
+    * over "ep:<epoch>:<doc_id>" — stable, seedable by the prefix,
+    * engine-portable) and a shard = key mod `shards`. A training
+    * loader writes each (epoch, shard) partition with
+    * sortWithinPartitions(skey) and gets a reproducible global shuffle
+    * with NO global sort, no shuffle exchange, and no RNG state — the
+    * assignment itself is map-only (the presentation sort here is the
+    * only exchange, and a real sink drops it). */
+  def epochShards(docs: DataFrame, epochs: Int = 2,
+                  shards: Int = 8): DataFrame = {
+    require(epochs >= 1 && shards >= 1)
+    docs.select(col("doc_id"),
+        explode(sequence(lit(0L), lit((epochs - 1).toLong))).as("epoch"))
+      .select(col("doc_id"), col("epoch"),
+        conv(substring(md5(concat(lit("ep:"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast(LongType).as("skey"))
+      .select(col("doc_id"), col("epoch"),
+        pmod(col("skey"), lit(shards.toLong)).as("shard"), col("skey"))
+      .orderBy("epoch", "doc_id")
   }
 }

@@ -91,6 +91,23 @@ object StreamingPipeline {
     graft.ops.TrainingOps.anomalyFlagsCore(events, fences)
   }
 
+  /** Per-source winsorized z-scores for LIVE documents against a
+    * calibration table computed over a HISTORICAL batch — the x96
+    * operator's streaming twin, same shape as [[streamEventAnomalies]]:
+    * exact percentile fences don't fold incrementally, so production
+    * refreshes the calibration on a cadence, and live docs score
+    * through the SAME [[graft.ops.TrainingOps.calibrateCore]] the
+    * batch query runs (a stateless stream-static broadcast join —
+    * identical to batch across any micro-batch split, spec-pinned).
+    * The calibration table is persisted so triggers don't recompute
+    * the historical percentiles. */
+  def streamCalibratedScores(docs: DataFrame,
+                             historical: DataFrame): DataFrame = {
+    val calib = graft.ops.TrainingOps.calibrationStats(historical).persist()
+    graft.ops.TrainingOps.calibrateCore(
+      graft.ops.TrainingOps.scoreProjection(docs), calib)
+  }
+
   /** One emitted near-duplicate match (canonical id order). */
   final case class NearDupPair(id_a: Long, id_b: Long, hamming: Int)
 

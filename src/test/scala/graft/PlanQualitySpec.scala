@@ -694,4 +694,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"both tiny per-source aggregates must broadcast back:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x98: epoch-shard assignment is map-only — the presentation sort is the only exchange") {
+    val p = plan("x98_epoch_shards")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no aggregation/join shuffle in a map-only assignment:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"only the deterministic-oracle sort may shuffle:\n$p")
+  }
 }

@@ -2411,4 +2411,47 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((200L until 204L).forall(id => got(id)._4 == 0.0),
       "constant-score source must read z=0")
   }
+
+  test("gramNovelty: reference doc reads 0, disjoint doc 10000, half-overlap 5000") {
+    val ss = spark
+    import ss.implicits._
+    val ref = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d e"),   // identical to reference → novelty 0
+      (2L, "p q r s t"),   // no shared 3-gram → fully novel
+      (3L, "a b c z")      // grams {a b c, b c z}: 1 of 2 seen → 5000
+    ).toDF("doc_id", "text")
+    val got = TrainingOps.gramNovelty(docs, ref, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 3L, 0L)),
+      2L -> ((3L, 0L, 10000L)),
+      3L -> ((2L, 1L, 5000L))), s"got $got")
+    // short doc (< n words): the clamped slice makes the whole token
+    // run one gram — decided, never a division error
+    val short = TrainingOps.gramNovelty(
+      Seq((9L, "a b")).toDF("doc_id", "text"), ref, n = 3).collect()
+    assert(short.map(r => (r.getLong(1), r.getLong(3))).toSeq == Seq((1L, 10000L)),
+      s"short doc must be one fully-novel gram: ${short.mkString}")
+  }
+
+  test("epochShards: fold keys match the JVM md5 recompute; assignment differs across epochs") {
+    val ss = spark
+    import ss.implicits._
+    val docs = (0L until 40L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val exp = (for { id <- 0L until 40L; ep <- 0L until 2L } yield {
+      val skey = h32(s"ep:$ep:$id")
+      (id, ep, skey % 8, skey)
+    }).toSet
+    val got = TrainingOps.epochShards(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == exp, s"diff: ${(got -- exp).take(3)} / ${(exp -- got).take(3)}")
+    // the whole point of the epoch prefix: the same doc must not keep
+    // its shard/order across epochs (for every doc would be a hash bug)
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.values.exists(rs => rs.map(_._4).size == 2 &&
+      rs.map(t => t._4).toSeq.distinct.size == 2),
+      "epoch keys must differ for at least some docs")
+    assert(got.map(_._3).size >= 2, "multiple shards must be hit")
+  }
 }

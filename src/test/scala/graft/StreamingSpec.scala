@@ -396,4 +396,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flags == Map(200L -> 0L, 201L -> 1L, 202L -> 0L, 203L -> 1L, 204L -> 1L),
       s"fence decisions wrong: $flags")
   }
+
+  test("streaming calibrated scores against historical stats == batch x96 core, across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def doc(id: Long, letters: Int, src: String) =
+      (id, "a" * letters + "." * (100 - letters), src)
+    // historical calibration batch: s1 spread with outliers, s2 constant
+    val hist = ((0 until 20).map(i => doc(i.toLong, 50 + i, "s1")) ++
+      Seq(doc(100L, 1, "s1"), doc(101L, 99, "s1")) ++
+      (0 until 4).map(i => doc(200L + i, 30, "s2")))
+      .toDF("doc_id", "text", "source")
+    val live1 = Seq(doc(300L, 55, "s1"), doc(301L, 2, "s1"), doc(302L, 30, "s2"))
+    val live2 = Seq(doc(303L, 98, "s1"), doc(304L, 60, "s2"))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingPipeline.streamCalibratedScores(
+      input.toDF().toDF("doc_id", "text", "source"), hist)
+      .writeStream.format("memory").queryName("calib_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(live1: _*)
+    q.processAllAvailable()
+    input.addData(live2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rowSet(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val streamed = rowSet(spark.sql("SELECT * FROM calib_out").collect())
+    val batch = rowSet(graft.ops.TrainingOps.calibrateCore(
+      graft.ops.TrainingOps.scoreProjection(
+        (live1 ++ live2).toDF("doc_id", "text", "source")),
+      graft.ops.TrainingOps.calibrationStats(hist)).collect())
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    val byId = streamed.map(t => t._1 -> t).toMap
+    assert(byId(301L)._4 > byId(301L)._3,
+      "live outlier below the historical p05 fence must clamp up")
+    assert(byId(303L)._4 < byId(303L)._3,
+      "live outlier above the historical p95 fence must clamp down")
+    assert(byId(302L)._5 == 0.0 && byId(304L)._5 == 0.0,
+      "constant-calibration source must read z=0 for any live score")
+  }
 }
