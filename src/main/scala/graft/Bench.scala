@@ -148,7 +148,11 @@ object Bench {
       // semantic decontamination, hard negatives, winsorized z-scores
       "x91_leakage_split", "x92_bpe_merges", "x93_score_corr",
       "x94_semantic_decon", "x95_hard_negatives", "x96_winsorize_scores",
-      "x97_gram_novelty", "x98_epoch_shards")
+      "x97_gram_novelty", "x98_epoch_shards",
+      // round-5 extension: integer k-means, dedup sizing, Gopher flags,
+      // pack-chunk report, BPE fertility
+      "x99_kmeans_topics", "x100_dedup_impact", "x101_gopher_rules",
+      "x102_pack_chunk_stats", "x103_bpe_fertility")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

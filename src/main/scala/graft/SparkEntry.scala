@@ -655,6 +655,22 @@ object SparkEntry {
     // deterministic epoch shuffle: per-(epoch, doc) shard + sort key
     "x98_epoch_shards" -> ((s, dir) =>
       TrainingOps.epochShards(s.read.parquet(t(dir, "documents")))),
+    // fixed-point integer k-means topic assignment (the x66 unrolled-
+    // CTE regime: the whole 3-iteration trajectory is bit-portable)
+    "x99_kmeans_topics" -> ((s, dir) =>
+      TrainingOps.kmeansTopics(s.read.parquet(t(dir, "embeddings")))),
+    // per-source near-dup impact sizing (x37 star labels × source)
+    "x100_dedup_impact" -> ((s, dir) =>
+      TrainingOps.dedupImpact(s.read.parquet(t(dir, "documents")))),
+    // the Gopher rule bundle as division-free integer flags
+    "x101_gopher_rules" -> ((s, dir) =>
+      TrainingOps.gopherRules(s.read.parquet(t(dir, "documents")))),
+    // per-chunk packing / attention-contamination report (x30 stream)
+    "x102_pack_chunk_stats" -> ((s, dir) =>
+      TrainingOps.packChunkStats(s.read.parquet(t(dir, "documents")))),
+    // tokens-per-word under the x92-learned merges, per source
+    "x103_bpe_fertility" -> ((s, dir) =>
+      TrainingOps.bpeFertility(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1346,6 +1362,88 @@ object SparkEntry {
     val union = (1 to steps).map(k => s"SELECT step, pair, cnt FROM r$k")
       .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
     head + stepCtes + union
+  }
+
+  /** L-iteration integer k-means unrolled as CTEs (c0 → d1/a1/c1 → … —
+    * the x66/x92 convention). Quantization, distances, argmin and the
+    * centroid integer division all mirror TrainingOps.kmeansTopics
+    * exactly, so the full trajectory is bit-portable; struct min gives
+    * the (dist, cluster) lexicographic tie-break both engines share. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val head =
+      s"""WITH q AS (
+         | SELECT vec_id,
+         |  list_transform(embedding,
+         |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         | FROM embeddings),
+         |c0 AS (SELECT vec_id AS cluster, qv FROM q WHERE vec_id < $k)""".stripMargin
+    val steps = (1 to iters).map { s =>
+      val assign =
+        s""",
+           |d$s AS (SELECT q.vec_id, c.cluster,
+           |  CAST(sum((q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])) AS BIGINT) AS dist
+           | FROM q, c${s - 1} c, unnest(range(1, len(q.qv) + 1)) AS t(i)
+           | GROUP BY 1, 2),
+           |a$s AS (SELECT vec_id,
+           |  (min(struct_pack(d := dist, k := cluster))).k AS cluster,
+           |  (min(struct_pack(d := dist, k := cluster))).d AS dist
+           | FROM d$s GROUP BY vec_id)""".stripMargin
+      val update = if (s < iters)
+        s""",
+           |c$s AS (SELECT cluster, list(c ORDER BY i) AS qv FROM (
+           |  SELECT a.cluster, i, CAST(sum(q.qv[i]) // count(*) AS BIGINT) AS c
+           |  FROM a$s a JOIN q USING (vec_id),
+           |       unnest(range(1, len(q.qv) + 1)) AS t(i)
+           |  GROUP BY 1, 2) GROUP BY cluster)""".stripMargin
+      else ""
+      assign + update
+    }.mkString
+    head + steps +
+      s"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist" +
+      s"\nFROM a$iters ORDER BY vec_id"
+  }
+
+  /** The x92 merge chain with the raw word `w` carried through every
+    * replace step (rules r1..rK are the identical argmaxes — same pair
+    * counts, same tie-break), then per-word post-merge symbol counts
+    * joined to per-source word frequencies. */
+  private def bpeFertilityOracleSql(steps: Int): String = {
+    val head =
+      """WITH wc AS (
+        | SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |  FROM documents)
+        | WHERE w <> '' GROUP BY w),
+        |w0 AS (SELECT w, '|' || regexp_replace(w, '(.)', '\1|', 'g') AS sym, freq
+        |       FROM wc)""".stripMargin
+    val stepCtes = (1 to steps).map { k =>
+      s""",
+         |p$k AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest([s[i] || '|' || s[i+1] FOR i IN range(1, len(s))]) AS pair,
+         |         freq
+         |  FROM (SELECT list_filter(regexp_split_to_array(sym, '\\|'),
+         |               x -> x <> '') AS s, freq
+         |        FROM w${k - 1}) WHERE len(s) >= 2) GROUP BY pair),
+         |r$k AS (SELECT
+         |  COALESCE((min(struct_pack(nc := -cnt, p := pair))).p, '~|~') AS pair
+         |  FROM p$k),
+         |w$k AS (SELECT w, replace(sym, '|' || pair || '|',
+         |          '|' || replace(pair, '|', '') || '|') AS sym, freq
+         |        FROM w${k - 1} CROSS JOIN r$k)""".stripMargin
+    }.mkString
+    head + stepCtes +
+      s""",
+         |v AS (SELECT w,
+         |  CAST(len(list_filter(regexp_split_to_array(sym, '\\|'),
+         |       x -> x <> '')) AS BIGINT) AS n_syms
+         | FROM w$steps),
+         |sw AS (SELECT source, t AS w, CAST(count(*) AS BIGINT) AS tf FROM (
+         |  SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+         |  FROM documents) WHERE t <> '' GROUP BY 1, 2)
+         |SELECT source, CAST(sum(tf) AS BIGINT) AS n_words,
+         | CAST(sum(tf * n_syms) AS BIGINT) AS n_tokens,
+         | CAST(sum(tf * n_syms) * 10000 // sum(tf) AS BIGINT) AS tokens_per_word_q4
+         |FROM sw JOIN v USING (w) GROUP BY source ORDER BY source""".stripMargin
   }
 
   private def langIdSql: String = {
@@ -2867,7 +2965,116 @@ object SparkEntry {
         |       CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS skey
         | FROM e)
         |SELECT doc_id, epoch, skey % 8 AS shard, skey
-        |FROM k ORDER BY epoch, doc_id""".stripMargin)
+        |FROM k ORDER BY epoch, doc_id""".stripMargin,
+    // x99: the x66 unrolled-iteration regime — integer quantization,
+    // integer distances, struct-min argmin, integer centroid division
+    "x99_kmeans_topics" -> kmeansOracleSql(8, 3),
+    // x100: x14's recursive closure kept at MEMBER grain, LEFT-joined
+    // to every document; canonical = min-label = the component id
+    "x100_dedup_impact" ->
+      s"""WITH RECURSIVE $jaccardCoreCtes,
+         |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (
+         | SELECT id_a AS a, id_b AS b FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+         | UNION
+         | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |memb AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+         |SELECT d.source,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN m.comp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_clustered,
+         | CAST(sum(CASE WHEN m.comp IS NOT NULL AND m.comp <> d.doc_id
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         | CAST(sum(CASE WHEN m.comp IS NOT NULL AND m.comp <> d.doc_id
+         |   THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS removal_bp
+         |FROM documents d LEFT JOIN memb m ON d.doc_id = m.id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // x101: every rule a pure integer comparison (no division) so the
+    // flags are bit-portable; list_sum over an empty list is NULL →
+    // COALESCE 0 matches Spark's aggregate() zero start
+    "x101_gopher_rules" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> x <> '') AS toks,
+        |  list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+        |  (length(text) - length(replace(text, '#', ''))) +
+        |  (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+        |    AS BIGINT) AS n_word_chars,
+        |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+        |    AS BIGINT) AS n_alpha_words,
+        |  CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','and','for','that','with','this','from','are','was','have'],
+        |    lower(t)))) AS BIGINT) AS n_stop,
+        |  CAST(n_sym AS BIGINT) AS n_sym,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+        |    AS BIGINT) AS n_bullet,
+        |  CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT)
+        |    AS n_ellipsis
+        | FROM f)
+        |SELECT doc_id, n_words,
+        | CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END
+        |   AS BIGINT) AS f_word_count,
+        | CAST(CASE WHEN n_word_chars >= n_words * 3
+        |   AND n_word_chars <= n_words * 10 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS f_mean_word_len,
+        | CAST(CASE WHEN n_sym * 10 < n_words THEN 1 ELSE 0 END AS BIGINT)
+        |   AS f_symbol,
+        | CAST(CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END
+        |   AS BIGINT) AS f_bullet,
+        | CAST(CASE WHEN n_ellipsis * 10 < n_lines * 3 THEN 1 ELSE 0 END
+        |   AS BIGINT) AS f_ellipsis,
+        | CAST(CASE WHEN n_alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END
+        |   AS BIGINT) AS f_alpha,
+        | CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stopwords,
+        | CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+        |  * (CASE WHEN n_word_chars >= n_words * 3
+        |      AND n_word_chars <= n_words * 10 THEN 1 ELSE 0 END)
+        |  * (CASE WHEN n_sym * 10 < n_words THEN 1 ELSE 0 END)
+        |  * (CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END)
+        |  * (CASE WHEN n_ellipsis * 10 < n_lines * 3 THEN 1 ELSE 0 END)
+        |  * (CASE WHEN n_alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END)
+        |  * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // x102: x30's offset CTEs verbatim, each doc exploded to only the
+    // chunks it touches, token slices as least/greatest interval math
+    "x102_pack_chunk_stats" ->
+      """WITH toks AS (SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        | FROM documents),
+        |off AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        | FROM toks),
+        |p AS (SELECT doc_id, n_tokens, tok_offset,
+        |  tok_offset // 2048 AS chunk_first,
+        |  (tok_offset + n_tokens - 1) // 2048 AS chunk_last
+        | FROM off WHERE n_tokens > 0),
+        |x AS (SELECT p.*, c AS chunk
+        |      FROM p, unnest(range(chunk_first, chunk_last + 1)) AS t(c))
+        |SELECT CAST(chunk AS BIGINT) AS chunk,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN chunk = chunk_first THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_starting,
+        | CAST(sum(least((chunk + 1) * 2048, tok_offset + n_tokens)
+        |      - greatest(chunk * 2048, tok_offset)) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN chunk_first <> chunk_last
+        |      THEN least((chunk + 1) * 2048, tok_offset + n_tokens)
+        |           - greatest(chunk * 2048, tok_offset) ELSE 0 END) AS BIGINT)
+        |   AS split_tokens
+        |FROM x GROUP BY chunk ORDER BY chunk""".stripMargin,
+    // x103: the w-carrying x92 chain (identical rules), then fertility
+    "x103_bpe_fertility" -> bpeFertilityOracleSql(6))
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

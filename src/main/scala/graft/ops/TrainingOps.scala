@@ -3573,40 +3573,56 @@ object TrainingOps {
     * it are K cheap jobs. */
   def bpeMerges(docs: DataFrame, steps: Int = 6): DataFrame = {
     val spark = docs.sparkSession
-    val words = docs
-      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+    val words = wordVocab(docs).persist()
+    try {
+      val (rules, _) = bpeLearnCore(words, steps)
+      import spark.implicits._
+      rules.toDF("step", "pair", "cnt").orderBy("step")
+    } finally words.unpersist()
+  }
+
+  /** The tf-reduced word-type table the BPE learner (x92) and fertility
+    * report (x103) share: one corpus-sized aggregate down to the
+    * vocabulary, each word carried with its '|'-sentineled symbol
+    * string and frequency. */
+  private def wordVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("sym"),
+      .select(col("w"),
+        concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("sym"),
         col("freq"))
-      .persist()
-    try {
-      var cur = words
-      val rules = Seq.newBuilder[(Long, String, Long)]
-      for (step <- 1 to steps) {
-        val syms = filter(split(col("sym"), "\\|"), x => x =!= "")
-        val pairsCol = when(size(syms) >= 2,
-          transform(sequence(lit(1), size(syms) - 1),
-            i => concat(element_at(syms, i), lit("|"), element_at(syms, i + 1))))
-          .otherwise(typedLit(Seq.empty[String]))
-        val best = cur.select(explode(pairsCol).as("pair"), col("freq"))
-          .groupBy("pair").agg(sum("freq").as("cnt"))
-          .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p"))).as("m"))
-          .select(col("m.p"), col("m.nc")).head()
-        // a vocabulary can run out of pairs before K steps (every word a
-        // single symbol): emit a sentinel rule that matches nothing, the
-        // same degradation the oracle's COALESCE encodes
-        val (p, cnt) =
-          if (best.isNullAt(0)) ("~|~", 0L)
-          else (best.getString(0), -best.getLong(1))
-        rules += ((step.toLong, p, cnt))
-        cur = cur.select(call_function("replace", col("sym"),
-          lit("|" + p + "|"), lit("|" + p.replace("|", "") + "|")).as("sym"),
-          col("freq"))
-      }
-      import spark.implicits._
-      rules.result().toDF("step", "pair", "cnt").orderBy("step")
-    } finally words.unpersist()
+
+  /** The K-step merge loop over a (persisted) vocabulary: returns the
+    * learned rules plus the final vocabulary with each word's symbol
+    * string after all K merges (the `w` key rides along untouched so
+    * consumers can join token counts back to raw words). */
+  private def bpeLearnCore(words: DataFrame, steps: Int)
+      : (Seq[(Long, String, Long)], DataFrame) = {
+    var cur = words
+    val rules = Seq.newBuilder[(Long, String, Long)]
+    for (step <- 1 to steps) {
+      val syms = filter(split(col("sym"), "\\|"), x => x =!= "")
+      val pairsCol = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => concat(element_at(syms, i), lit("|"), element_at(syms, i + 1))))
+        .otherwise(typedLit(Seq.empty[String]))
+      val best = cur.select(explode(pairsCol).as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("pair").as("p"))).as("m"))
+        .select(col("m.p"), col("m.nc")).head()
+      // a vocabulary can run out of pairs before K steps (every word a
+      // single symbol): emit a sentinel rule that matches nothing, the
+      // same degradation the oracle's COALESCE encodes
+      val (p, cnt) =
+        if (best.isNullAt(0)) ("~|~", 0L)
+        else (best.getString(0), -best.getLong(1))
+      rules += ((step.toLong, p, cnt))
+      cur = cur.select(col("w"), call_function("replace", col("sym"),
+        lit("|" + p + "|"), lit("|" + p.replace("|", "") + "|")).as("sym"),
+        col("freq"))
+    }
+    (rules.result(), cur)
   }
 
   /** Per-source Pearson correlation between two document quality
@@ -3848,5 +3864,216 @@ object TrainingOps {
       .select(col("doc_id"), col("epoch"),
         pmod(col("skey"), lit(shards.toLong)).as("shard"), col("skey"))
       .orderBy("epoch", "doc_id")
+  }
+
+  /** Fixed-point integer k-means over quantized embeddings — the topic
+    * / domain clustering pass a data-mixing pipeline runs before
+    * computing per-cluster sampling rates (and the full-corpus sibling
+    * of x04's per-sample IVF training). Arithmetic is exact: vectors
+    * quantize per element to floor(x·10⁶) BIGINT (the x28/x85
+    * convention), distances are integer sums of squares, the argmin is
+    * min over (dist, cluster) structs (a total order), and the centroid
+    * update is an integer sum DIV count — so every iteration is
+    * bit-portable and an unrolled-CTE oracle can pin the whole
+    * trajectory (the x66 fixed-point-PageRank convention). Scale shape
+    * per iteration: ONE map-only assignment projection over the cached
+    * quantized table (k zip_with aggregates, no join — centroids enter
+    * as literals), then ONE map-side-combinable aggregate down to
+    * k·dims rows pulled to the driver (the bounded-collect class, like
+    * annLsh's query signatures). Seeds are the first k vectors by
+    * vec_id — deterministic in both engines; k-means++ would need RNG
+    * state the oracle can't replay. An empty cluster simply drops out
+    * of the next round's argmin in BOTH engines (exact-arithmetic
+    * identical membership), the standard Lloyd degradation. */
+  def kmeansTopics(embeddings: DataFrame, k: Int = 8,
+                   iters: Int = 3): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    val q = embeddings.select(col("vec_id"),
+        transform(asDouble(col("embedding")),
+          x => floor(x * 1000000).cast(LongType)).as("qv"))
+      .persist()
+    try {
+      var cents: Seq[(Long, Seq[Long])] = q.filter(col("vec_id") < k)
+        .orderBy("vec_id").collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      def assign(): DataFrame = {
+        val ds = cents.map { case (cid, c) =>
+          struct(
+            aggregate(zip_with(col("qv"), array(c.map(lit): _*),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+              .as("dist"),
+            lit(cid).as("cluster"))
+        }
+        q.select(col("vec_id"), col("qv"), array_min(array(ds: _*)).as("m"))
+          .select(col("vec_id"), col("qv"),
+            col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+      }
+      for (_ <- 1 until iters) {
+        cents = assign()
+          .select(col("cluster"), posexplode(col("qv")).as(Seq("i", "v")))
+          .groupBy("cluster", "i")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .select(col("cluster"), col("i"), expr("s DIV n").as("c"))
+          .groupBy("cluster")
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+            s => s.getField("c")).as("carr"))
+          .orderBy("cluster").collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      }
+      assign().select(col("vec_id"), col("cluster"), col("dist"))
+        .orderBy("vec_id")
+        .localCheckpoint(true)
+    } finally q.unpersist()
+  }
+
+  /** Per-source near-duplicate impact report — what the x13/x37 dedup
+    * machinery would DO to each source: every document joins its star
+    * component label (LEFT: docs outside every near-dup pair are
+    * unaffected), the canonical survivor is the component's min doc_id
+    * (exactly the label, by construction), and the report counts
+    * members and would-be removals per source. This is the
+    * before-you-commit sizing table a curation run reads to see which
+    * source a dedup pass actually shrinks. Scale shape: the pair /
+    * contraction machinery is x37's (adjudicated safe); the rest is
+    * one primary-key left join plus one map-side-combinable aggregate
+    * over the source key. */
+  def dedupImpact(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = jaccardNearDupPairs(docs, threshold).select("id_a", "id_b")
+    val (labels, labelIds, _) = connectedComponentsStarMembersWithRounds(pairs)
+    try {
+      docs.select(col("doc_id"), col("source"))
+        .join(labels.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("comp").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+          sum(when(col("comp").isNotNull && col("comp") =!= col("doc_id"), 1L)
+            .otherwise(0L)).as("n_removed"))
+        .select(col("source"), col("n_docs"), col("n_clustered"),
+          col("n_removed"),
+          expr("n_removed * 10000 DIV n_docs").as("removal_bp"))
+        .orderBy("source")
+        .localCheckpoint(true) // materialized before the labels release
+    } finally releaseRdds(labels, labelIds)
+  }
+
+  /** The Gopher rule bundle (Rae et al. 2021, §A1.1) as one integer
+    * flag projection — the canonical named ruleset next to the repo's
+    * continuous quality scores (q16/x26/x46 gate on thresholds; this
+    * reports the standard rules verbatim so corpora can be compared
+    * against published filters). Every rule is pure integer arithmetic
+    * with NO division (3·n ≤ chars ≤ 10·n instead of a mean), so the
+    * flags are bit-portable. Map-only: one projection, the
+    * presentation sort is the only exchange. Rules: word count in
+    * [50, 100k]; mean word length in [3, 10]; symbol-to-word ratio
+    * ('#' and '...') < 0.1; ≤ 90% of lines bullet-started; < 30% of
+    * lines ellipsis-ended; ≥ 80% of words contain a Latin letter;
+    * ≥ 2 stopwords present. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val lines = filter(split(col("text"), "\n"), l => l =!= "")
+    val nSym = (length(col("text"))
+      - length(call_function("replace", col("text"), lit("#"), lit("")))) +
+      (length(col("text"))
+        - length(call_function("replace", col("text"), lit("..."), lit("")))) / 3
+    docs.select(col("doc_id"),
+        size(toks).cast(LongType).as("n_words"),
+        aggregate(transform(toks, t => length(t).cast(LongType)),
+          lit(0L), (a, b) => a + b).as("n_word_chars"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType)
+          .as("n_alpha_words"),
+        size(filter(toks, t => lower(t).isInCollection(qualityStopwords)))
+          .cast(LongType).as("n_stop"),
+        nSym.cast(LongType).as("n_sym"),
+        size(lines).cast(LongType).as("n_lines"),
+        size(filter(lines, l => trim(l).rlike("^[-*•]")))
+          .cast(LongType).as("n_bullet"),
+        size(filter(lines, l => l.endsWith("..."))).cast(LongType)
+          .as("n_ellipsis"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= 50 && col("n_words") <= 100000)
+          .cast(LongType).as("f_word_count"),
+        (col("n_word_chars") >= col("n_words") * 3 &&
+          col("n_word_chars") <= col("n_words") * 10)
+          .cast(LongType).as("f_mean_word_len"),
+        (col("n_sym") * 10 < col("n_words")).cast(LongType).as("f_symbol"),
+        (col("n_bullet") * 10 <= col("n_lines") * 9)
+          .cast(LongType).as("f_bullet"),
+        (col("n_ellipsis") * 10 < col("n_lines") * 3)
+          .cast(LongType).as("f_ellipsis"),
+        (col("n_alpha_words") * 10 >= col("n_words") * 8)
+          .cast(LongType).as("f_alpha"),
+        (col("n_stop") >= 2).cast(LongType).as("f_stopwords"))
+      .withColumn("pass",
+        (col("f_word_count") * col("f_mean_word_len") * col("f_symbol")
+          * col("f_bullet") * col("f_ellipsis") * col("f_alpha")
+          * col("f_stopwords")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  /** Per-chunk packing report over the x30 concat-and-chunk stream —
+    * the loader-side diagnostic for attention contamination: for every
+    * `chunkTokens`-token training chunk, how many documents overlap it,
+    * how many START in it, and how many of its tokens belong to
+    * documents that cross a chunk boundary (the tokens that would need
+    * attention masking / document-boundary resets). Each doc explodes
+    * to only the chunks it touches (total rows ≈ total_tokens/chunk +
+    * n_docs — linear), then ONE aggregate on the chunk key. */
+  def packChunkStats(docs: DataFrame, chunkTokens: Int = 2048,
+                     buckets: Int = 64): DataFrame = {
+    val (packed, toks) = packSequencesPlan(docs, chunkTokens, buckets)
+    try {
+      val c = lit(chunkTokens.toLong)
+      packed
+        .filter(col("n_tokens") > 0)
+        .select(col("tok_offset"), col("n_tokens"),
+          col("chunk_first"), col("chunk_last"),
+          explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk"))
+        .select(col("chunk"),
+          (least((col("chunk") + 1) * c, col("tok_offset") + col("n_tokens"))
+            - greatest(col("chunk") * c, col("tok_offset"))).as("toks_in"),
+          when(col("chunk") === col("chunk_first"), 1L).otherwise(0L)
+            .as("starts"),
+          (col("chunk_first") =!= col("chunk_last")).as("crossing"))
+        .groupBy("chunk").agg(
+          count(lit(1)).as("n_docs"),
+          sum("starts").as("n_starting"),
+          sum("toks_in").as("n_tokens"),
+          sum(when(col("crossing"), col("toks_in")).otherwise(0L))
+            .as("split_tokens"))
+        .orderBy("chunk")
+        .localCheckpoint(true) // materialized before the token cache drops
+    } finally toks.unpersist()
+  }
+
+  /** Tokenizer fertility per source under the x92-learned BPE merges —
+    * the tokens-per-word rate that decides how many TRAINING tokens a
+    * source actually contributes (raw word counts over-weight sources
+    * the tokenizer fragments). The merge rules are learned exactly as
+    * x92 does (same driver-stepped argmax over the shared cached
+    * vocabulary), each word's token count is its post-merge symbol
+    * count, and per-source word frequencies join that vocabulary table
+    * (tf-reduced — the x42 skew lesson) before one aggregate per
+    * source. Rate in q4 fixed point (tokens·10⁴ DIV words). */
+  def bpeFertility(docs: DataFrame, steps: Int = 6): DataFrame = {
+    val words = wordVocab(docs).persist()
+    try {
+      val (_, finalVocab) = bpeLearnCore(words, steps)
+      val nsyms = finalVocab.select(col("w"),
+        size(filter(split(col("sym"), "\\|"), x => x =!= ""))
+          .cast(LongType).as("n_syms"))
+      docs.select(col("source"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("source", "w").agg(count(lit(1)).as("tf"))
+        .join(nsyms, Seq("w"))
+        .groupBy("source").agg(
+          sum("tf").as("n_words"),
+          sum(col("tf") * col("n_syms")).as("n_tokens"))
+        .select(col("source"), col("n_words"), col("n_tokens"),
+          expr("n_tokens * 10000 DIV n_words").as("tokens_per_word_q4"))
+        .orderBy("source")
+        .localCheckpoint(true) // materialized before the vocab cache drops
+    } finally words.unpersist()
   }
 }

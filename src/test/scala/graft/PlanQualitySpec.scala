@@ -702,4 +702,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 1, s"only the deterministic-oracle sort may shuffle:\n$p")
   }
+
+  test("x101: the Gopher rule bundle is one map-only projection") {
+    val p = plan("x101_gopher_rules")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+      s"flag rules must not shuffle or join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"only the presentation sort may shuffle:\n$p")
+  }
 }

@@ -2454,4 +2454,134 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "epoch keys must differ for at least some docs")
     assert(got.map(_._3).size >= 2, "multiple shards must be hit")
   }
+
+  test("kmeansTopics: exact recovery of the planted clusters on the clustered view") {
+    val emb = SparkEntry.clusteredEmbeddings(spark, sfMid)
+    val got = TrainingOps.kmeansTopics(emb, k = 6, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == emb.count(), "every vector must be assigned")
+    // the planted structure is vec_id % 6 (one-hot base dimension), and
+    // seeds 0..5 each sit in a distinct planted cluster — Lloyd must
+    // recover the partition exactly: same truth → same cluster, and the
+    // six truths map to six distinct clusters
+    val byTruth = got.groupBy { case (id, _) => id % 6 }
+    byTruth.foreach { case (truth, members) =>
+      assert(members.values.toSet.size == 1,
+        s"planted cluster $truth split across ${members.values.toSet}")
+    }
+    assert(byTruth.map(_._2.values.head).toSet.size == 6,
+      "distinct planted clusters must not merge")
+  }
+
+  test("dedupImpact: per-source totals reconcile with the component table") {
+    val docs = spark.read.parquet(s"$sfMid/documents.parquet")
+    val imp = TrainingOps.dedupImpact(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val comps = TrainingOps.dupComponents(docs).collect()
+      .map(r => r.getLong(1)) // n_docs per component
+    assert(imp.map(_._2).sum == docs.count(), "every doc must be counted once")
+    assert(imp.map(_._3).sum == comps.sum,
+      "clustered docs must equal the component-table membership")
+    assert(imp.map(_._4).sum == comps.map(_ - 1L).sum,
+      "removals must be exactly members-minus-canonicals")
+    imp.foreach { case (src, n, cl, rm, bp) =>
+      assert(rm <= cl && cl <= n, s"$src ordering violated: $n/$cl/$rm")
+      assert(bp == rm * 10000 / n, s"$src removal_bp mismatch")
+    }
+  }
+
+  test("gopherRules: flags match a JVM recompute on branch-forcing docs") {
+    val ss = spark
+    import ss.implicits._
+    val goodWords = (0 until 60).map(i => s"word${i % 7}") ++
+      Seq("the", "and", "that")
+    val texts = Seq(
+      1L -> goodWords.mkString(" "),                    // passes everything
+      2L -> "tiny the and doc",                         // fails word count
+      3L -> ("- a\n- b\n- c\n" + goodWords.mkString(" ")), // 3/4 bullet lines: fails 90% rule? 30<=36 passes; keep as bullet-heavy pass
+      4L -> "- a\n- b\n- c",                            // 3/3 bullet lines → fails
+      5L -> ("this ends...\nalso ends...\n" + goodWords.mkString(" ")), // 2/3 ellipsis-ended → fails
+      6L -> (goodWords.mkString(" ") + " " + ("#" * 20)), // symbol-heavy → fails
+      7L -> (0 until 60).map(_ => "supercalifragilistic").mkString(" ")) // mwl>10, no stopwords
+    val docs = texts.toDF("doc_id", "text")
+    val stop = Set("the", "and", "for", "that", "with", "this", "from",
+      "are", "was", "have")
+    def countSub(text: String, sub: String): Long = {
+      var i = 0; var n = 0L
+      while ({ i = text.indexOf(sub, i); i >= 0 }) { n += 1; i += sub.length }
+      n
+    }
+    val exp = texts.map { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val lines = text.split("\n").filter(_.nonEmpty).toSeq
+      val nw = toks.size.toLong
+      val chars = toks.map(_.length.toLong).sum
+      val alphaW = toks.count(_.exists(c => c.isLetter && c <= 'z')).toLong
+      val nStop = toks.count(t => stop(t.toLowerCase)).toLong
+      val nSym = countSub(text, "#") + countSub(text, "...")
+      val nLines = lines.size.toLong
+      val nBul = lines.count(l => "-*•".contains(l.trim.headOption.getOrElse(' '))).toLong
+      val nEll = lines.count(_.endsWith("...")).toLong
+      val f = Seq(
+        nw >= 50 && nw <= 100000,
+        chars >= nw * 3 && chars <= nw * 10,
+        nSym * 10 < nw,
+        nBul * 10 <= nLines * 9,
+        nEll * 10 < nLines * 3,
+        alphaW * 10 >= nw * 8,
+        nStop >= 2).map(b => if (b) 1L else 0L)
+      id -> ((nw +: f) :+ f.product)
+    }.toMap
+    val got = TrainingOps.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> (1 to 9).map(r.getLong).toSeq).toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    assert(got(1L).last == 1L && got(4L)(4) == 0L && got(5L)(5) == 0L &&
+      got(6L)(3) == 0L && got(7L)(2) == 0L && got(7L)(7) == 0L,
+      "branch-forcing docs must trip exactly their target rules")
+  }
+
+  test("packChunkStats: token conservation, full interior chunks, split accounting") {
+    val docs = spark.read.parquet(s"$sfMid/documents.parquet")
+    val stats = TrainingOps.packChunkStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val totalToks = docs.collect().map { r =>
+      val t = r.getAs[String]("text").trim
+      if (t.isEmpty) 0L else t.split("\\s+").length.toLong
+    }.sum
+    assert(stats.map(_._4).sum == totalToks, "chunk tokens must conserve")
+    val last = stats.map(_._1).max
+    stats.filter(_._1 != last).foreach { case (c, _, _, nt, _) =>
+      assert(nt == 2048L, s"interior chunk $c not full: $nt")
+    }
+    assert(stats.map(_._3).sum == docs.filter("length(trim(text)) > 0").count(),
+      "every non-empty doc starts in exactly one chunk")
+    stats.foreach { case (c, nd, ns, nt, sp) =>
+      assert(sp <= nt && ns <= nd, s"chunk $c accounting violated")
+    }
+    assert(stats.exists(_._5 > 0), "some tokens must belong to split docs")
+  }
+
+  test("bpeFertility: matches a hand-computed merge trajectory on a toy corpus") {
+    val ss = spark
+    import ss.implicits._
+    // corpus vocabulary: ab(3), cd(3), e(1), xyz(1). Two merge steps
+    // consume a|b (tie vs c|d breaks to the smaller pair) then c|d, so
+    // ab and cd collapse to one token while xyz stays three symbols.
+    val docs = Seq(
+      (1L, "ab ab cd xyz", "s1"),
+      (2L, "ab cd cd e", "s2")).toDF("doc_id", "text", "source")
+    val got = TrainingOps.bpeFertility(docs, steps = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      "s1" -> ((4L, 6L, 15000L)),
+      "s2" -> ((4L, 4L, 10000L))), s"got $got")
+    // with enough steps the toy vocabulary collapses entirely: every
+    // word one token, fertility exactly 10000 for both sources
+    val sat = TrainingOps.bpeFertility(docs, steps = 6).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(sat == Map("s1" -> 10000L, "s2" -> 10000L), s"got $sat")
+  }
 }
