@@ -152,7 +152,11 @@ object Bench {
       // round-5 extension: integer k-means, dedup sizing, Gopher flags,
       // pack-chunk report, BPE fertility
       "x99_kmeans_topics", "x100_dedup_impact", "x101_gopher_rules",
-      "x102_pack_chunk_stats", "x103_bpe_fertility")
+      "x102_pack_chunk_stats", "x103_bpe_fertility",
+      // composed curation verdict, vocab coverage curve, Stupid Backoff
+      // LM scoring, DSIR resampling
+      "x104_curate_corpus", "x105_vocab_coverage", "x106_stupid_backoff",
+      "x107_dsir_resample")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

@@ -671,6 +671,19 @@ object SparkEntry {
     // tokens-per-word under the x92-learned merges, per source
     "x103_bpe_fertility" -> ((s, dir) =>
       TrainingOps.bpeFertility(s.read.parquet(t(dir, "documents")))),
+    // composed curation verdict: exact-dup canonical × near-dup star
+    // canonical × Gopher pass, one decided row per document
+    "x104_curate_corpus" -> ((s, dir) =>
+      TrainingOps.curateCorpus(s.read.parquet(t(dir, "documents")))),
+    // vocab coverage by min term frequency (exact integer log2 buckets)
+    "x105_vocab_coverage" -> ((s, dir) =>
+      TrainingOps.vocabCoverage(s.read.parquet(t(dir, "documents")))),
+    // Stupid Backoff bigram scoring vs the doc_id%5 reference LM slice
+    "x106_stupid_backoff" -> ((s, dir) =>
+      TrainingOps.stupidBackoff(s.read.parquet(t(dir, "documents")))),
+    // DSIR importance resampling: log-domain A-ES over the x62 weights
+    "x107_dsir_resample" -> ((s, dir) =>
+      TrainingOps.dsirResample(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1445,6 +1458,90 @@ object SparkEntry {
          | CAST(sum(tf * n_syms) * 10000 // sum(tf) AS BIGINT) AS tokens_per_word_q4
          |FROM sw JOIN v USING (w) GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** The x101 Gopher flag bundle — every rule a pure integer comparison
+    * (no division) so the flags are bit-portable; list_sum over an
+    * empty list is NULL → COALESCE 0 matches Spark's aggregate() zero
+    * start. Shared by x101 and the x104 composed curation verdict. */
+  private def gopherOracleSql: String =
+    """WITH f AS (
+      | SELECT doc_id,
+      |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |              x -> x <> '') AS toks,
+      |  list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+      |  (length(text) - length(replace(text, '#', ''))) +
+      |  (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+      |    AS BIGINT) AS n_word_chars,
+      |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+      |    AS BIGINT) AS n_alpha_words,
+      |  CAST(len(list_filter(toks, t -> list_contains(
+      |    ['the','and','for','that','with','this','from','are','was','have'],
+      |    lower(t)))) AS BIGINT) AS n_stop,
+      |  CAST(n_sym AS BIGINT) AS n_sym,
+      |  CAST(len(lines) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+      |    AS BIGINT) AS n_bullet,
+      |  CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT)
+      |    AS n_ellipsis
+      | FROM f)
+      |SELECT doc_id, n_words,
+      | CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END
+      |   AS BIGINT) AS f_word_count,
+      | CAST(CASE WHEN n_word_chars >= n_words * 3
+      |   AND n_word_chars <= n_words * 10 THEN 1 ELSE 0 END AS BIGINT)
+      |   AS f_mean_word_len,
+      | CAST(CASE WHEN n_sym * 10 < n_words THEN 1 ELSE 0 END AS BIGINT)
+      |   AS f_symbol,
+      | CAST(CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END
+      |   AS BIGINT) AS f_bullet,
+      | CAST(CASE WHEN n_ellipsis * 10 < n_lines * 3 THEN 1 ELSE 0 END
+      |   AS BIGINT) AS f_ellipsis,
+      | CAST(CASE WHEN n_alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END
+      |   AS BIGINT) AS f_alpha,
+      | CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stopwords,
+      | CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+      |  * (CASE WHEN n_word_chars >= n_words * 3
+      |      AND n_word_chars <= n_words * 10 THEN 1 ELSE 0 END)
+      |  * (CASE WHEN n_sym * 10 < n_words THEN 1 ELSE 0 END)
+      |  * (CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END)
+      |  * (CASE WHEN n_ellipsis * 10 < n_lines * 3 THEN 1 ELSE 0 END)
+      |  * (CASE WHEN n_alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END)
+      |  * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** The x62 DSIR hashed importance weights — shared by x62 and the
+    * x107 resampling step (which sorts by a key derived from log_iw). */
+  private def dsirWeightsOracleSql: String =
+    s"""WITH tok AS (
+       | SELECT doc_id, regexp_split_to_array($normSql, ' ') AS toks FROM documents),
+       |feats AS (
+       | SELECT doc_id,
+       |  unnest([CAST(('0x' || substr(md5('ds:' || toks[i] || ' ' || toks[i+1]), 1, 8)) AS BIGINT) % 4096
+       |          FOR i IN range(1, len(toks))]) AS b
+       | FROM tok WHERE len(toks) >= 2),
+       |tfb AS (SELECT doc_id, b, count(*) AS tf FROM feats GROUP BY 1, 2),
+       |src AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cs FROM tfb GROUP BY 1),
+       |tgt AS (SELECT b, CAST(sum(tf) AS BIGINT) AS ct FROM tfb
+       |        WHERE doc_id % 11 = 0 GROUP BY 1),
+       |ts AS (SELECT CAST(sum(cs) AS DOUBLE) AS ts FROM src),
+       |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS tt FROM tgt),
+       |ratio AS (
+       | SELECT s.b AS b,
+       |  ln((coalesce(ct, 0) + 1.0) / (tt + 4096)) - ln((cs + 1.0) / (ts + 4096)) AS lr
+       | FROM src s LEFT JOIN tgt USING (b) CROSS JOIN ts CROSS JOIN tt),
+       |scored AS (
+       | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+       |  round(sum(tf * lr) / sum(tf), 4) AS log_iw
+       | FROM tfb JOIN ratio USING (b) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats, s.log_iw,
+       | CAST(CASE WHEN s.log_iw > 0 THEN 1 ELSE 0 END AS BIGINT) AS target_like
+       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   private def langIdSql: String = {
     val idPresence = graft.lib.Language.idKeywords
@@ -2270,32 +2367,7 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // x62: same hashed-bigram buckets, add-1 smoothing over the bucket
     // space, totals as 1-row CTEs
-    "x62_dsir_weights" ->
-      s"""WITH tok AS (
-         | SELECT doc_id, regexp_split_to_array($normSql, ' ') AS toks FROM documents),
-         |feats AS (
-         | SELECT doc_id,
-         |  unnest([CAST(('0x' || substr(md5('ds:' || toks[i] || ' ' || toks[i+1]), 1, 8)) AS BIGINT) % 4096
-         |          FOR i IN range(1, len(toks))]) AS b
-         | FROM tok WHERE len(toks) >= 2),
-         |tfb AS (SELECT doc_id, b, count(*) AS tf FROM feats GROUP BY 1, 2),
-         |src AS (SELECT b, CAST(sum(tf) AS BIGINT) AS cs FROM tfb GROUP BY 1),
-         |tgt AS (SELECT b, CAST(sum(tf) AS BIGINT) AS ct FROM tfb
-         |        WHERE doc_id % 11 = 0 GROUP BY 1),
-         |ts AS (SELECT CAST(sum(cs) AS DOUBLE) AS ts FROM src),
-         |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS tt FROM tgt),
-         |ratio AS (
-         | SELECT s.b AS b,
-         |  ln((coalesce(ct, 0) + 1.0) / (tt + 4096)) - ln((cs + 1.0) / (ts + 4096)) AS lr
-         | FROM src s LEFT JOIN tgt USING (b) CROSS JOIN ts CROSS JOIN tt),
-         |scored AS (
-         | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
-         |  round(sum(tf * lr) / sum(tf), 4) AS log_iw
-         | FROM tfb JOIN ratio USING (b) GROUP BY doc_id)
-         |SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats, s.log_iw,
-         | CAST(CASE WHEN s.log_iw > 0 THEN 1 ELSE 0 END AS BIGINT) AS target_like
-         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "x62_dsir_weights" -> dsirWeightsOracleSql,
     // x63: the x48 span CTEs verbatim, aggregated to per-doc stats;
     // integer basis points (// is DuckDB integral division ≡ Spark DIV)
     "x63_dup_token_stats" ->
@@ -2995,56 +3067,7 @@ object SparkEntry {
     // x101: every rule a pure integer comparison (no division) so the
     // flags are bit-portable; list_sum over an empty list is NULL →
     // COALESCE 0 matches Spark's aggregate() zero start
-    "x101_gopher_rules" ->
-      """WITH f AS (
-        | SELECT doc_id,
-        |  list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |              x -> x <> '') AS toks,
-        |  list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
-        |  (length(text) - length(replace(text, '#', ''))) +
-        |  (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
-        | FROM documents),
-        |c AS (
-        | SELECT doc_id,
-        |  CAST(len(toks) AS BIGINT) AS n_words,
-        |  CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
-        |    AS BIGINT) AS n_word_chars,
-        |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
-        |    AS BIGINT) AS n_alpha_words,
-        |  CAST(len(list_filter(toks, t -> list_contains(
-        |    ['the','and','for','that','with','this','from','are','was','have'],
-        |    lower(t)))) AS BIGINT) AS n_stop,
-        |  CAST(n_sym AS BIGINT) AS n_sym,
-        |  CAST(len(lines) AS BIGINT) AS n_lines,
-        |  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
-        |    AS BIGINT) AS n_bullet,
-        |  CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT)
-        |    AS n_ellipsis
-        | FROM f)
-        |SELECT doc_id, n_words,
-        | CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END
-        |   AS BIGINT) AS f_word_count,
-        | CAST(CASE WHEN n_word_chars >= n_words * 3
-        |   AND n_word_chars <= n_words * 10 THEN 1 ELSE 0 END AS BIGINT)
-        |   AS f_mean_word_len,
-        | CAST(CASE WHEN n_sym * 10 < n_words THEN 1 ELSE 0 END AS BIGINT)
-        |   AS f_symbol,
-        | CAST(CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END
-        |   AS BIGINT) AS f_bullet,
-        | CAST(CASE WHEN n_ellipsis * 10 < n_lines * 3 THEN 1 ELSE 0 END
-        |   AS BIGINT) AS f_ellipsis,
-        | CAST(CASE WHEN n_alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END
-        |   AS BIGINT) AS f_alpha,
-        | CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS f_stopwords,
-        | CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
-        |  * (CASE WHEN n_word_chars >= n_words * 3
-        |      AND n_word_chars <= n_words * 10 THEN 1 ELSE 0 END)
-        |  * (CASE WHEN n_sym * 10 < n_words THEN 1 ELSE 0 END)
-        |  * (CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END)
-        |  * (CASE WHEN n_ellipsis * 10 < n_lines * 3 THEN 1 ELSE 0 END)
-        |  * (CASE WHEN n_alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END)
-        |  * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass
-        |FROM c ORDER BY doc_id""".stripMargin,
+    "x101_gopher_rules" -> gopherOracleSql,
     // x102: x30's offset CTEs verbatim, each doc exploded to only the
     // chunks it touches, token slices as least/greatest interval math
     "x102_pack_chunk_stats" ->
@@ -3074,7 +3097,107 @@ object SparkEntry {
         |   AS split_tokens
         |FROM x GROUP BY chunk ORDER BY chunk""".stripMargin,
     // x103: the w-carrying x92 chain (identical rules), then fertility
-    "x103_bpe_fertility" -> bpeFertilityOracleSql(6))
+    "x103_bpe_fertility" -> bpeFertilityOracleSql(6),
+    // x104: x100's recursive closure at member grain + exact-group
+    // canonicals + the shared Gopher SQL, conjoined per document
+    "x104_curate_corpus" ->
+      s"""WITH RECURSIVE $jaccardCoreCtes,
+         |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (
+         | SELECT id_a AS a, id_b AS b FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+         | UNION
+         | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |memb AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+         |ekt AS (SELECT doc_id, md5($normSql) AS ek FROM documents),
+         |er AS (SELECT ek, min(doc_id) AS rep FROM ekt GROUP BY ek),
+         |gp AS (SELECT doc_id, pass FROM ($gopherOracleSql))
+         |SELECT d.doc_id, d.source,
+         | CAST(CASE WHEN er.rep = d.doc_id THEN 1 ELSE 0 END AS BIGINT)
+         |   AS keep_exact,
+         | CAST(CASE WHEN m.id IS NULL OR m.comp = d.doc_id THEN 1 ELSE 0 END
+         |   AS BIGINT) AS keep_near,
+         | gp.pass AS pass_gopher,
+         | CAST((CASE WHEN er.rep = d.doc_id THEN 1 ELSE 0 END)
+         |  * (CASE WHEN m.id IS NULL OR m.comp = d.doc_id THEN 1 ELSE 0 END)
+         |  * gp.pass AS BIGINT) AS keep
+         |FROM documents d
+         | JOIN ekt ON d.doc_id = ekt.doc_id
+         | JOIN er ON ekt.ek = er.ek
+         | LEFT JOIN memb m ON d.doc_id = m.id
+         | JOIN gp ON d.doc_id = gp.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // x105: exact integer log2 buckets via bin()-string length (both
+    // engines print binary without leading zeros), running sums over
+    // the ≤64-row bucket table
+    "x105_vocab_coverage" ->
+      """WITH v AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        |  FROM documents) WHERE w <> '' GROUP BY w),
+        |b AS (SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS k,
+        |       CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(sum(cnt) AS BIGINT) AS n_tokens
+        |      FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM v)
+        |SELECT k, CAST(CAST(1 AS BIGINT) << CAST(k AS INT) AS BIGINT) AS min_count,
+        | n_terms, n_tokens,
+        | CAST(sum(n_terms) OVER w AS BIGINT) AS cum_terms,
+        | CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        | CAST(sum(n_tokens) OVER w * 10000 // t AS BIGINT) AS coverage_bp
+        |FROM b CROSS JOIN t
+        |WINDOW w AS (ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY k DESC""".stripMargin,
+    // x106: the same count tables over the doc_id%5 slice; per-bigram
+    // ln terms in fixed double-cast order, mean rounded q4 (x62's
+    // float-sum-then-round convention)
+    "x106_stupid_backoff" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |              w -> w <> '') AS toks FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bg
+        | FROM tok WHERE len(toks) >= 2),
+        |tf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bg GROUP BY 1, 2),
+        |c2 AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c2 FROM tf
+        |       WHERE doc_id % 5 = 0 GROUP BY bg),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM (
+        |  SELECT unnest(toks) AS w FROM tok WHERE doc_id % 5 = 0) GROUP BY w),
+        |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS nn,
+        |        CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |scored AS (
+        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN c2.c2 IS NULL THEN tf ELSE 0 END) AS BIGINT)
+        |    AS n_backoff,
+        |  round(-(sum(tf * CASE WHEN c2.c2 IS NOT NULL
+        |      THEN ln(CAST(c2.c2 AS DOUBLE) / u1.cu)
+        |      ELSE ln(CAST(0.4 AS DOUBLE) * CAST(coalesce(u2.cu, 0) + 1 AS DOUBLE) / (nn + v)) END)
+        |    / sum(tf)), 4) AS nll
+        | FROM tf LEFT JOIN c2 USING (bg)
+        |  LEFT JOIN uni u1 ON u1.w = split_part(bg, ' ', 1)
+        |  LEFT JOIN uni u2 ON u2.w = split_part(bg, ' ', 2)
+        |  CROSS JOIN tot
+        | GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        | CAST(coalesce(n_backoff, 0) AS BIGINT) AS n_backoff,
+        | CAST(CASE WHEN n_bigrams IS NOT NULL THEN n_backoff * 10000 // n_bigrams
+        |      ELSE 0 END AS BIGINT) AS backoff_bp,
+        | nll
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // x107: the x62 weights as a CTE; key = round(ln(-ln u),4) - log_iw
+    // (a difference of two already-rounded doubles — no float chain)
+    "x107_dsir_resample" ->
+      s"""WITH dw AS ($dsirWeightsOracleSql),
+         |keyed AS (
+         | SELECT doc_id, log_iw,
+         |  round(ln(-ln(CAST((CAST(('0x' || substr(md5('dr:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1) AS DOUBLE)
+         |    / CAST(16777217 AS DOUBLE))), 4) - log_iw AS key
+         | FROM dw WHERE log_iw IS NOT NULL)
+         |SELECT doc_id, log_iw, key FROM keyed
+         |ORDER BY key ASC, doc_id ASC LIMIT 100""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

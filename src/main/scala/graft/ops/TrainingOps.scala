@@ -4076,4 +4076,174 @@ object TrainingOps {
         .localCheckpoint(true) // materialized before the vocab cache drops
     } finally words.unpersist()
   }
+
+  /** End-to-end curation decision table — the composed verdict the
+    * whole dedup/quality stack renders per document, in one audit
+    * table: is the doc its exact-duplicate group's canonical
+    * (md5-of-normText groups, canonical = min doc_id — q09's rule), is
+    * it its NEAR-dup star component's canonical (x37 labels; docs in
+    * no component trivially survive), and does it pass the x101 Gopher
+    * rule bundle. `keep` is the conjunction — the row set a curated
+    * training corpus would actually retain. Every document gets a
+    * decided row. Scale shape: all three inputs are adjudicated
+    * operators (the pair machinery is x13/x37's, the flag bundle is
+    * map-only); the composition adds two primary-key left joins and
+    * nothing corpus-quadratic. Exact-dup canonicals agree with
+    * near-dup canonicals by construction (identical docs always
+    * co-band, so an exact group is always inside one component). */
+  def curateCorpus(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val (mem, reps) = exactGroups(docs)
+    val pairs = jaccardNearDupPairs(docs, threshold).select("id_a", "id_b")
+    val (labels, labelIds, _) = connectedComponentsStarMembersWithRounds(pairs)
+    try {
+      val keepExact = mem.join(reps, Seq("ek"))
+        .select(col("doc_id"),
+          (col("doc_id") === col("rep_id")).cast(LongType).as("keep_exact"))
+      val keepNear = labels
+        .select(col("id").as("doc_id"),
+          (col("id") === col("comp")).cast(LongType).as("kn"))
+      val gopher = gopherRules(docs)
+        .select(col("doc_id"), col("pass").as("pass_gopher"))
+      docs.select(col("doc_id"), col("source"))
+        .join(keepExact, Seq("doc_id"))
+        .join(keepNear, Seq("doc_id"), "left")
+        .join(gopher, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("keep_exact"),
+          coalesce(col("kn"), lit(1L)).as("keep_near"), col("pass_gopher"))
+        .withColumn("keep",
+          col("keep_exact") * col("keep_near") * col("pass_gopher"))
+        .orderBy("doc_id")
+        .localCheckpoint(true) // materialized before the caches release
+    } finally { mem.unpersist(); releaseRdds(labels, labelIds) }
+  }
+
+  /** Vocabulary coverage by minimum term frequency — the curve a
+    * tokenizer/vocab builder reads to pick a min-count cutoff: for each
+    * power-of-two frequency bucket (cnt ∈ [2^k, 2^(k+1))), how many
+    * term TYPES sit there and how many corpus TOKENS they carry, plus
+    * the cumulative share covered by keeping every term at least that
+    * frequent. Deliberately keyed by FREQUENCY, not by global rank: a
+    * rank curve needs a corpus-wide total order whose low-count tail
+    * (hapax terms are ~half of any Zipfian vocabulary) funnels into
+    * single-reducer windows — the x48-class hot-key defect — while the
+    * frequency bucketing is one map-side-combinable aggregate to at
+    * most 64 rows, over which the running sum is driver-bounded
+    * regardless of corpus size (the bounded-collect class). The bucket
+    * index is exact integer log2 via the binary-string length (bin()
+    * agrees between Spark and DuckDB; no float log at a boundary). */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val byBucket = vocab
+      .select((length(bin(col("cnt"))) - 1).cast(LongType).as("k"), col("cnt"))
+      .groupBy("k").agg(
+        count(lit(1)).as("n_terms"),
+        sum("cnt").as("n_tokens"))
+    // both frames ride ONE window pass over the ≤64-row bucket table —
+    // the corpus-sized vocab subtree is evaluated exactly once (a
+    // second reference for the total would re-run the term aggregate)
+    val order = Window.orderBy(col("k").desc)
+    val w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = order.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byBucket
+      .select(col("k"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))").as("min_count"),
+        col("n_terms"), col("n_tokens"),
+        sum("n_terms").over(w).as("cum_terms"),
+        sum("n_tokens").over(w).as("cum_tokens"),
+        sum("n_tokens").over(wAll).as("t"))
+      .withColumn("coverage_bp", expr("cum_tokens * 10000 DIV t"))
+      .select("k", "min_count", "n_terms", "n_tokens", "cum_terms",
+        "cum_tokens", "coverage_bp")
+      .orderBy(col("k").desc)
+  }
+
+  /** Stupid Backoff bigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") against a held-out reference LM —
+    * the web-scale smoothing that made trillion-token LMs practical
+    * precisely because its scores need NO normalization: S(w₂|w₁) =
+    * c(w₁w₂)/c(w₁) when the reference slice saw the bigram, else
+    * 0.4·(c(w₂)+1)/(N+V) (the published 0.4 backoff, with an add-one
+    * floor so reference-unseen words stay finite). The reference LM
+    * trains on the deterministic doc_id ≡ 0 (mod 5) slice (the x19
+    * synthesized-benchmark convention), so out-of-slice documents
+    * genuinely exercise the backoff branch. Per-doc score = tf-weighted
+    * mean of ln S, round(4) (the x21/x62 ln-portability convention);
+    * n_backoff / backoff_bp report how often the model fell through.
+    * Scale shape: doc bigrams are tf-reduced before every join (the
+    * x42 lesson); the reference count tables are slice-sized and the
+    * totals ride as 1-row broadcasts; every doc returns via the final
+    * left join (under-2-token docs: zero bigrams, null score). */
+  def stupidBackoff(docs: DataFrame, alpha: Double = 0.4): DataFrame = {
+    val toksCol = filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "")
+    val d = docs.select(col("doc_id"), toksCol.as("toks"))
+    val n = size(col("toks"))
+    val tf = d.filter(n >= 2).select(col("doc_id"),
+        explode(transform(sequence(lit(1), n - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val slice = d.filter(pmod(col("doc_id"), lit(5L)) === 0)
+    val c2 = tf.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .groupBy("bg").agg(sum("tf").as("c2"))
+    val uni = slice.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(
+      sum("cu").cast(DoubleType).as("nn"),
+      count(lit(1)).cast(DoubleType).as("v"))
+    val term = when(col("c2").isNotNull,
+        log(col("c2").cast(DoubleType) / col("c1")))
+      .otherwise(log(lit(alpha) * (coalesce(col("cu"), lit(0L)) + lit(1.0))
+        / (col("nn") + col("v"))))
+    val scored = tf
+      .join(c2, Seq("bg"), "left")
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")),
+        substring_index(col("bg"), " ", 1) === col("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu")),
+        substring_index(col("bg"), " ", -1) === col("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_bigrams"),
+        sum(when(col("c2").isNull, col("tf")).otherwise(0L)).as("n_backoff"),
+        round(-(sum(col("tf") * term) / sum("tf")), 4).as("nll"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        when(col("n_bigrams").isNotNull,
+          expr("n_backoff * 10000 DIV n_bigrams")).otherwise(0L)
+          .as("backoff_bp"),
+        col("nll"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR importance RESAMPLING — the selection step Xie et al. 2023
+    * run on top of the x62 importance weights, realized as
+    * Efraimidis-Spirakis A-ES entirely in the log domain: maximizing
+    * u^(1/w) for w = exp(log_iw) is minimizing ln(−ln u) − log_iw, so
+    * the sort key is the DIFFERENCE OF TWO ALREADY-ROUNDED DOUBLES
+    * (ln(−ln u) gets the x82 round-then-use treatment, log_iw is q4
+    * by x62's contract) — no float multiplication chain crosses the
+    * engine boundary, and exp/pow never run at all. u comes from the
+    * md5 24-bit rational over 2²⁴+1 (strictly inside (0,1), so the
+    * double-log is always finite). Zero-feature docs (null log_iw)
+    * carry no importance estimate and are excluded — decided by the
+    * weight table, not silently sampled. Scale shape: x62's machinery
+    * plus one map-only key projection and a TakeOrderedAndProject —
+    * the global top-k never shuffles the corpus. */
+  def dsirResample(docs: DataFrame, k: Int = 100,
+                   buckets: Int = 4096): DataFrame = {
+    val u24 = conv(substring(md5(concat(lit("dr:"),
+      col("doc_id").cast("string"))), 1, 6), 16, 10).cast(LongType) + lit(1L)
+    dsirWeights(docs, buckets)
+      .filter(col("log_iw").isNotNull)
+      .select(col("doc_id"), col("log_iw"),
+        (round(log(-log(u24.cast(DoubleType) / lit(16777217.0))), 4)
+          - col("log_iw")).as("key"))
+      .orderBy(asc("key"), asc("doc_id"))
+      .limit(k)
+  }
 }

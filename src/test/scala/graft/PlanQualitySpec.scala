@@ -710,4 +710,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 1, s"only the presentation sort may shuffle:\n$p")
   }
+
+  test("x105: coverage shuffles only the two bounded aggregates") {
+    // one corpus-wide term aggregate + one ≤64-row bucket aggregate; the
+    // running sum then rides a bounded single-partition window by design
+    val p = plan("x105_vocab_coverage")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"only term + bucket aggregates may hash-shuffle:\n$p")
+  }
+
+  test("x107: the resample top-k is a TakeOrderedAndProject, never a global sort") {
+    val p = plan("x107_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must not materialize a full sort:\n$p")
+  }
 }

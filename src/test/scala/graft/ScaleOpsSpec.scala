@@ -2584,4 +2584,121 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(sat == Map("s1" -> 10000L, "s2" -> 10000L), s"got $sat")
   }
+
+  test("curateCorpus: planted exact dups lose, canonicals survive, flags reconcile") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$sfMid/documents.parquet")
+      .select("doc_id", "text", "source")
+    // clone three documents under fresh ids — exact dups ALWAYS co-band,
+    // so both the exact and the near flags must demote every clone
+    val clones = base.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        lit("cloned").as("source"))
+    val docs = base.unionByName(clones)
+    val got = TrainingOps.curateCorpus(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(got.size == docs.count(), "every doc decided once")
+    for (id <- 0L until 3L) {
+      assert(got(id)._1 == 1L && got(id)._2 == 1L,
+        s"original $id must stay canonical: ${got(id)}")
+      assert(got(id + 100000L)._1 == 0L && got(id + 100000L)._2 == 0L,
+        s"clone of $id must lose both dedup flags: ${got(id + 100000L)}")
+    }
+    // flags reconcile with their source operators
+    val gopher = TrainingOps.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(9)).toMap
+    got.foreach { case (id, (ke, kn, pg, keep)) =>
+      assert(pg == gopher(id), s"$id gopher flag drifted")
+      assert(keep == ke * kn * pg, s"$id keep must be the conjunction")
+    }
+    val imp = TrainingOps.dedupImpact(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.values.count(_._2 == 1L) == imp.map(t => t._1 - t._2).sum,
+      "near-dup survivors must equal dedupImpact's kept count")
+  }
+
+  test("vocabCoverage: exact buckets and running sums on a planted Zipf vocabulary") {
+    val ss = spark
+    import ss.implicits._
+    // counts 1,1,2,5,17,64 → buckets k=0:{a,b}, k=1:{c}, k=2:{d},
+    // k=4:{e}, k=6:{f}; total 90
+    val words = Seq("a" -> 1, "b" -> 1, "c" -> 2, "d" -> 5, "e" -> 17,
+      "f" -> 64)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TrainingOps.vocabCoverage(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val exp = Seq(
+      (6L, 64L, 1L, 64L, 1L, 64L, 64L * 10000 / 90),
+      (4L, 16L, 1L, 17L, 2L, 81L, 81L * 10000 / 90),
+      (2L, 4L, 1L, 5L, 3L, 86L, 86L * 10000 / 90),
+      (1L, 2L, 1L, 2L, 4L, 88L, 88L * 10000 / 90),
+      (0L, 1L, 2L, 2L, 6L, 90L, 10000L))
+    assert(got.toSeq == exp, s"got ${got.toSeq}")
+    // corpus identity: the last row covers everything
+    val mid = TrainingOps.vocabCoverage(
+      spark.read.parquet(s"$sfMid/documents.parquet")).collect()
+    assert(mid.last.getLong(6) == 10000L, "full vocab must cover 10000 bp")
+    assert(mid.map(_.getLong(3)).sum == mid.last.getLong(5),
+      "bucket tokens must sum to the final cumulative")
+  }
+
+  test("stupidBackoff: both branches match a JVM recompute on a toy corpus") {
+    val ss = spark
+    import ss.implicits._
+    // slice = ids 0 and 5; doc 1 exercises seen bigrams AND both backoff
+    // shapes (known w2, unknown w2)
+    val docs = Seq(
+      (0L, "a b a b c"), (5L, "a b d"), (1L, "a b c d e"), (2L, "x"))
+      .toDF("doc_id", "text")
+    // slice model: c2 = {a b:3, b a:1, b c:1, b d:1}; uni = {a:3,b:3,c:1,d:1}
+    // N=8, V=4
+    val q4 = (x: Double) =>
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def term(c2: Option[Long], c1: Long, cu: Long): Double = c2 match {
+      case Some(c) => math.log(c.toDouble / c1)
+      case None => math.log(0.4 * (cu + 1.0) / (8.0 + 4.0))
+    }
+    val expDoc1 = {
+      val ts = Seq(term(Some(3L), 3L, 0L), term(Some(1L), 3L, 0L),
+        term(None, 0L, 1L), term(None, 0L, 0L))
+      q4(-(ts.sum / 4))
+    }
+    val got = TrainingOps.stupidBackoff(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    assert(got(1L)._1 == 4L && got(1L)._2 == 2L && got(1L)._3 == 5000L,
+      s"doc 1 counts: ${got(1L)}")
+    assert(got(1L)._4 == expDoc1, s"doc 1 nll ${got(1L)._4} != $expDoc1")
+    val exp0 = q4(-(Seq(term(Some(3L), 3L, 0L), term(Some(1L), 3L, 0L),
+      term(Some(3L), 3L, 0L), term(Some(1L), 3L, 0L)).sum / 4))
+    assert(got(0L)._4 == exp0 && got(0L)._2 == 0L,
+      s"in-slice doc must never back off: ${got(0L)}")
+    assert(got(2L)._1 == 0L && got(2L)._2 == 0L && got(2L)._3 == 0L &&
+      got(2L)._4.isNaN,
+      "a one-token doc has no bigrams and a null score")
+  }
+
+  test("dsirResample: selection equals a JVM A-ES recompute over the x62 weights") {
+    val docs = spark.read.parquet(s"$sfMid/documents.parquet")
+    val q4 = (x: Double) =>
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val weights = TrainingOps.dsirWeights(docs).collect()
+      .flatMap(r => if (r.isNullAt(2)) None
+        else Some(r.getLong(0) -> r.getDouble(2)))
+    val expected = weights.map { case (id, iw) =>
+      val u24 = java.lang.Long.parseLong(md5hex(s"dr:$id").take(6), 16) + 1L
+      (q4(math.log(-math.log(u24.toDouble / 16777217.0))) - iw, id)
+    }.sorted.take(100)
+    val got = TrainingOps.dsirResample(docs).collect()
+      .map(r => (r.getDouble(2), r.getLong(0)))
+    assert(got.toSeq == expected.toSeq,
+      s"selection drifted: got ${got.take(3).toSeq} exp ${expected.take(3).toSeq}")
+  }
 }
