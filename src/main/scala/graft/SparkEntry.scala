@@ -684,6 +684,12 @@ object SparkEntry {
     // DSIR importance resampling: log-domain A-ES over the x62 weights
     "x107_dsir_resample" -> ((s, dir) =>
       TrainingOps.dsirResample(s.read.parquet(t(dir, "documents")))),
+    // data-constrained epoch budgeting over the x80 mixture targets
+    "x108_data_budget" -> ((s, dir) =>
+      TrainingOps.dataBudget(s.read.parquet(t(dir, "documents")))),
+    // per-source curation funnel (x104 verdicts rolled up)
+    "x109_curation_funnel" -> ((s, dir) =>
+      TrainingOps.curationFunnel(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1513,6 +1519,39 @@ object SparkEntry {
       |  * (CASE WHEN n_alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END)
       |  * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass
       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** The x104 composed curation verdict — x100's recursive closure at
+    * member grain + exact-group canonicals + the shared Gopher SQL,
+    * conjoined per document. Shared by x104 and the x109 funnel. */
+  private def curateOracleSql: String =
+    s"""WITH RECURSIVE $jaccardCoreCtes,
+       |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+       |edges AS (
+       | SELECT id_a AS a, id_b AS b FROM pairs
+       | UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       | SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |memb AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+       |ekt AS (SELECT doc_id, md5($normSql) AS ek FROM documents),
+       |er AS (SELECT ek, min(doc_id) AS rep FROM ekt GROUP BY ek),
+       |gp AS (SELECT doc_id, pass FROM ($gopherOracleSql))
+       |SELECT d.doc_id, d.source,
+       | CAST(CASE WHEN er.rep = d.doc_id THEN 1 ELSE 0 END AS BIGINT)
+       |   AS keep_exact,
+       | CAST(CASE WHEN m.id IS NULL OR m.comp = d.doc_id THEN 1 ELSE 0 END
+       |   AS BIGINT) AS keep_near,
+       | gp.pass AS pass_gopher,
+       | CAST((CASE WHEN er.rep = d.doc_id THEN 1 ELSE 0 END)
+       |  * (CASE WHEN m.id IS NULL OR m.comp = d.doc_id THEN 1 ELSE 0 END)
+       |  * gp.pass AS BIGINT) AS keep
+       |FROM documents d
+       | JOIN ekt ON d.doc_id = ekt.doc_id
+       | JOIN er ON ekt.ek = er.ek
+       | LEFT JOIN memb m ON d.doc_id = m.id
+       | JOIN gp ON d.doc_id = gp.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** The x62 DSIR hashed importance weights — shared by x62 and the
     * x107 resampling step (which sorts by a key derived from log_iw). */
@@ -3100,35 +3139,7 @@ object SparkEntry {
     "x103_bpe_fertility" -> bpeFertilityOracleSql(6),
     // x104: x100's recursive closure at member grain + exact-group
     // canonicals + the shared Gopher SQL, conjoined per document
-    "x104_curate_corpus" ->
-      s"""WITH RECURSIVE $jaccardCoreCtes,
-         |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
-         |edges AS (
-         | SELECT id_a AS a, id_b AS b FROM pairs
-         | UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         | SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
-         | UNION
-         | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |memb AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
-         |ekt AS (SELECT doc_id, md5($normSql) AS ek FROM documents),
-         |er AS (SELECT ek, min(doc_id) AS rep FROM ekt GROUP BY ek),
-         |gp AS (SELECT doc_id, pass FROM ($gopherOracleSql))
-         |SELECT d.doc_id, d.source,
-         | CAST(CASE WHEN er.rep = d.doc_id THEN 1 ELSE 0 END AS BIGINT)
-         |   AS keep_exact,
-         | CAST(CASE WHEN m.id IS NULL OR m.comp = d.doc_id THEN 1 ELSE 0 END
-         |   AS BIGINT) AS keep_near,
-         | gp.pass AS pass_gopher,
-         | CAST((CASE WHEN er.rep = d.doc_id THEN 1 ELSE 0 END)
-         |  * (CASE WHEN m.id IS NULL OR m.comp = d.doc_id THEN 1 ELSE 0 END)
-         |  * gp.pass AS BIGINT) AS keep
-         |FROM documents d
-         | JOIN ekt ON d.doc_id = ekt.doc_id
-         | JOIN er ON ekt.ek = er.ek
-         | LEFT JOIN memb m ON d.doc_id = m.id
-         | JOIN gp ON d.doc_id = gp.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "x104_curate_corpus" -> curateOracleSql,
     // x105: exact integer log2 buckets via bin()-string length (both
     // engines print binary without leading zeros), running sums over
     // the ≤64-row bucket table
@@ -3197,7 +3208,44 @@ object SparkEntry {
          |    / CAST(16777217 AS DOUBLE))), 4) - log_iw AS key
          | FROM dw WHERE log_iw IS NOT NULL)
          |SELECT doc_id, log_iw, key FROM keyed
-         |ORDER BY key ASC, doc_id ASC LIMIT 100""".stripMargin)
+         |ORDER BY key ASC, doc_id ASC LIMIT 100""".stripMargin,
+    // x108: x80's CTEs + the integer ceil/cap projection ((a+b-1)//b,
+    // least ≡ Spark least — all BIGINT, bit-portable)
+    "x108_data_budget" ->
+      s"""WITH tok AS (
+         | SELECT source,
+         |  CAST(len(list_filter(string_split($normSql, ' '), t -> t <> '')) AS BIGINT) AS n_toks
+         | FROM documents),
+         |bys AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |        FROM tok GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |               CAST(count(*) AS BIGINT) AS n_sources FROM bys),
+         |base AS (
+         | SELECT source, n_tokens,
+         |  CAST(total_tokens // n_sources AS BIGINT) AS target_tokens
+         | FROM bys CROSS JOIN tot),
+         |ep AS (
+         | SELECT source, n_tokens, target_tokens,
+         |  CAST(CASE WHEN n_tokens > 0
+         |       THEN least(4, (target_tokens + n_tokens - 1) // n_tokens)
+         |       ELSE 0 END AS BIGINT) AS epochs
+         | FROM base)
+         |SELECT source, n_tokens, target_tokens, epochs,
+         | CAST(least(target_tokens, n_tokens * epochs) AS BIGINT)
+         |   AS effective_tokens,
+         | CAST(target_tokens - least(target_tokens, n_tokens * epochs)
+         |   AS BIGINT) AS deficit_tokens
+         |FROM ep ORDER BY source""".stripMargin,
+    // x109: the shared x104 SQL rolled up per source
+    "x109_curation_funnel" ->
+      s"""WITH c AS ($curateOracleSql)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(keep_exact) AS BIGINT) AS n_exact_kept,
+         | CAST(sum(keep_near) AS BIGINT) AS n_near_kept,
+         | CAST(sum(pass_gopher) AS BIGINT) AS n_gopher_pass,
+         | CAST(sum(keep) AS BIGINT) AS n_kept,
+         | CAST(sum(keep) * 10000 // count(*) AS BIGINT) AS kept_bp
+         |FROM c GROUP BY source ORDER BY source""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

@@ -4220,6 +4220,50 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Data-constrained token budgeting (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): given x80's uniform
+    * per-source token target, how many EPOCHS of each source the loader
+    * must take to reach it — capped at `maxEpochs` (the paper's ~4-
+    * repeat point beyond which repeated tokens stop helping) — and the
+    * effective token count that cap leaves. Pure integer arithmetic
+    * over the ≤|sources|-row mixture table (ceil as (a+b−1) DIV b), so
+    * the whole plan is x80's one corpus scan plus a bounded projection.
+    * A source bigger than the target runs epochs=1 and downsamples
+    * (x80's accept_bp is that rate); a source smaller than target/4
+    * reports its deficit — the tokens the mix must source elsewhere. */
+  def dataBudget(docs: DataFrame, maxEpochs: Int = 4): DataFrame = {
+    val (rates, bySource) = mixtureRatesPlan(docs)
+    try {
+      rates.select(col("source"), col("n_tokens"), col("target_tokens"))
+        .withColumn("epochs", when(col("n_tokens") > 0,
+            least(lit(maxEpochs.toLong),
+              expr("(target_tokens + n_tokens - 1) DIV n_tokens")))
+          .otherwise(lit(0L)))
+        .withColumn("effective_tokens",
+          least(col("target_tokens"), col("n_tokens") * col("epochs")))
+        .withColumn("deficit_tokens",
+          col("target_tokens") - col("effective_tokens"))
+        .orderBy("source")
+        .localCheckpoint(true) // materialized before the cache releases
+    } finally bySource.unpersist()
+  }
+
+  /** The curation FUNNEL — x104's per-document verdicts rolled up to
+    * the per-source report a pipeline owner actually reads: how many
+    * documents enter, how many survive exact dedup, near dedup, and
+    * the Gopher gate, and what fraction the full conjunction keeps.
+    * One map-side-combinable aggregate over the x104 table. */
+  def curationFunnel(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    curateCorpus(docs, threshold)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("keep_exact").as("n_exact_kept"),
+        sum("keep_near").as("n_near_kept"),
+        sum("pass_gopher").as("n_gopher_pass"),
+        sum("keep").as("n_kept"))
+      .withColumn("kept_bp", expr("n_kept * 10000 DIV n_docs"))
+      .orderBy("source")
+
   /** DSIR importance RESAMPLING — the selection step Xie et al. 2023
     * run on top of the x62 importance weights, realized as
     * Efraimidis-Spirakis A-ES entirely in the log domain: maximizing

@@ -2681,6 +2681,48 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a one-token doc has no bigrams and a null score")
   }
 
+  test("dataBudget: epoch cap and deficit arithmetic on a planted skewed mix") {
+    val ss = spark
+    import ss.implicits._
+    // source a: 1 token; source b: 99 tokens → target 50 each. a hits
+    // the 4-epoch cap (46-token deficit); b downsamples at 1 epoch.
+    val docs = Seq((1L, "w", "a"), (2L, ("x " * 99).trim, "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TrainingOps.dataBudget(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got("a") == ((1L, 50L, 4L, 4L, 46L)), s"got ${got("a")}")
+    assert(got("b") == ((99L, 50L, 1L, 50L, 0L)), s"got ${got("b")}")
+    // corpus identities: epochs in [1,4], effective = min(target, n*e)
+    val mid = TrainingOps.dataBudget(
+      spark.read.parquet(s"$sfMid/documents.parquet")).collect()
+    mid.foreach { r =>
+      val (n, t, e, eff, d) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(e >= 1 && e <= 4, s"epochs out of range: $e")
+      assert(eff == math.min(t, n * e) && d == t - eff,
+        s"budget arithmetic drifted: $n $t $e $eff $d")
+      if (n >= t) assert(e == 1 && eff == t, "oversized source must downsample")
+    }
+  }
+
+  test("curationFunnel: rolls up exactly the per-doc verdict table") {
+    val docs = spark.read.parquet(s"$sfMid/documents.parquet")
+    val perDoc = TrainingOps.curateCorpus(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    val exp = perDoc.groupBy(_._1).map { case (src, rows) =>
+      val n = rows.length.toLong
+      val kept = rows.map(_._5).sum
+      src -> ((n, rows.map(_._2).sum, rows.map(_._3).sum,
+        rows.map(_._4).sum, kept, kept * 10000 / n))
+    }
+    val got = TrainingOps.curationFunnel(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == exp, s"funnel drifted")
+  }
+
   test("dsirResample: selection equals a JVM A-ES recompute over the x62 weights") {
     val docs = spark.read.parquet(s"$sfMid/documents.parquet")
     val q4 = (x: Double) =>
