@@ -1486,7 +1486,7 @@ object SparkEntry {
       |  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
       |    AS BIGINT) AS n_alpha_words,
       |  CAST(len(list_filter(toks, t -> list_contains(
-      |    ['the','and','for','that','with','this','from','are','was','have'],
+      |    ['the','be','to','of','and','that','have','with'],
       |    lower(t)))) AS BIGINT) AS n_stop,
       |  CAST(n_sym AS BIGINT) AS n_sym,
       |  CAST(len(lines) AS BIGINT) AS n_lines,
@@ -1501,11 +1501,11 @@ object SparkEntry {
       | CAST(CASE WHEN n_word_chars >= n_words * 3
       |   AND n_word_chars <= n_words * 10 THEN 1 ELSE 0 END AS BIGINT)
       |   AS f_mean_word_len,
-      | CAST(CASE WHEN n_sym * 10 < n_words THEN 1 ELSE 0 END AS BIGINT)
+      | CAST(CASE WHEN n_sym * 10 <= n_words THEN 1 ELSE 0 END AS BIGINT)
       |   AS f_symbol,
       | CAST(CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END
       |   AS BIGINT) AS f_bullet,
-      | CAST(CASE WHEN n_ellipsis * 10 < n_lines * 3 THEN 1 ELSE 0 END
+      | CAST(CASE WHEN n_ellipsis * 10 <= n_lines * 3 THEN 1 ELSE 0 END
       |   AS BIGINT) AS f_ellipsis,
       | CAST(CASE WHEN n_alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END
       |   AS BIGINT) AS f_alpha,
@@ -1513,9 +1513,9 @@ object SparkEntry {
       | CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
       |  * (CASE WHEN n_word_chars >= n_words * 3
       |      AND n_word_chars <= n_words * 10 THEN 1 ELSE 0 END)
-      |  * (CASE WHEN n_sym * 10 < n_words THEN 1 ELSE 0 END)
+      |  * (CASE WHEN n_sym * 10 <= n_words THEN 1 ELSE 0 END)
       |  * (CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END)
-      |  * (CASE WHEN n_ellipsis * 10 < n_lines * 3 THEN 1 ELSE 0 END)
+      |  * (CASE WHEN n_ellipsis * 10 <= n_lines * 3 THEN 1 ELSE 0 END)
       |  * (CASE WHEN n_alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END)
       |  * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass
       |FROM c ORDER BY doc_id""".stripMargin

@@ -234,6 +234,19 @@ object TrainingOps {
 
   private[graft] def jaccardNearDupPairsPlan(
       docs: DataFrame, threshold: Double = 0.8, k: Int = 9): (DataFrame, Seq[DataFrame]) = {
+    val (verified, base, mem, _) = jaccardPairsParts(docs, threshold, k)
+    (verified, Seq(base, mem))
+  }
+
+  /** The pair pipeline with its internals exposed — verified pairs plus
+    * the (persisted) shingle table and the exact-group membership/rep
+    * tables, so compositions (x104 curateCorpus) can reuse the SAME
+    * fingerprint tables for their exact-dedup columns instead of
+    * re-scanning the corpus through a second exactGroups. Caller
+    * unpersists base and mem. */
+  private def jaccardPairsParts(
+      docs: DataFrame, threshold: Double, k: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (cands, base, mem, reps) = repBandCandidates(docs, k)
     val shingleSets = base.select(col("doc_id"), col("sh"))
     val repPairs = cands
@@ -251,7 +264,7 @@ object TrainingOps {
     val verified = expandRepPairs(repPairs, reps, mem, Seq("jaccard"))
       .unionByName(withinGroupPairs(mem, Seq(lit(1.0).as("jaccard"))))
       .orderBy("id_a", "id_b")
-    (verified, Seq(base, mem))
+    (verified, base, mem, reps)
   }
 
   /** Rep-level band-join candidate count at the x13 operating point —
@@ -3896,6 +3909,12 @@ object TrainingOps {
       var cents: Seq[(Long, Seq[Long])] = q.filter(col("vec_id") < k)
         .orderBy("vec_id").collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      // no seedable vectors (empty table, or ids not starting below k):
+      // degrade to the oracle's empty c0 → empty assignment, instead of
+      // an array_min over zero structs failing analysis (review r5)
+      if (cents.isEmpty)
+        return q.select(col("vec_id"), lit(0L).as("cluster"),
+          lit(0L).as("dist")).filter(lit(false)).localCheckpoint(true)
       def assign(): DataFrame = {
         val ds = cents.map { case (cid, c) =>
           struct(
@@ -3964,11 +3983,18 @@ object TrainingOps {
     * against published filters). Every rule is pure integer arithmetic
     * with NO division (3·n ≤ chars ≤ 10·n instead of a mean), so the
     * flags are bit-portable. Map-only: one projection, the
-    * presentation sort is the only exchange. Rules: word count in
-    * [50, 100k]; mean word length in [3, 10]; symbol-to-word ratio
-    * ('#' and '...') < 0.1; ≤ 90% of lines bullet-started; < 30% of
-    * lines ellipsis-ended; ≥ 80% of words contain a Latin letter;
-    * ≥ 2 stopwords present. */
+    * presentation sort is the only exchange. Rules, with the paper's
+    * "remove if MORE THAN" boundaries kept inclusive on the pass side:
+    * word count in [50, 100k]; mean word length in [3, 10];
+    * symbol-to-word ratio ('#' and '...') ≤ 0.1; ≤ 90% of lines
+    * bullet-started; ≤ 30% of lines ellipsis-ended; ≥ 80% of words
+    * contain a Latin letter; ≥ 2 of the paper's eight stopwords
+    * (the, be, to, of, and, that, have, with — NOT the repo's q16
+    * scoring list, so corpora stay comparable to published
+    * Gopher-filtered sets). */
+  private val gopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   def gopherRules(docs: DataFrame): DataFrame = {
     val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
     val lines = filter(split(col("text"), "\n"), l => l =!= "")
@@ -3982,7 +4008,7 @@ object TrainingOps {
           lit(0L), (a, b) => a + b).as("n_word_chars"),
         size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType)
           .as("n_alpha_words"),
-        size(filter(toks, t => lower(t).isInCollection(qualityStopwords)))
+        size(filter(toks, t => lower(t).isInCollection(gopherStopwords)))
           .cast(LongType).as("n_stop"),
         nSym.cast(LongType).as("n_sym"),
         size(lines).cast(LongType).as("n_lines"),
@@ -3996,10 +4022,10 @@ object TrainingOps {
         (col("n_word_chars") >= col("n_words") * 3 &&
           col("n_word_chars") <= col("n_words") * 10)
           .cast(LongType).as("f_mean_word_len"),
-        (col("n_sym") * 10 < col("n_words")).cast(LongType).as("f_symbol"),
+        (col("n_sym") * 10 <= col("n_words")).cast(LongType).as("f_symbol"),
         (col("n_bullet") * 10 <= col("n_lines") * 9)
           .cast(LongType).as("f_bullet"),
-        (col("n_ellipsis") * 10 < col("n_lines") * 3)
+        (col("n_ellipsis") * 10 <= col("n_lines") * 3)
           .cast(LongType).as("f_ellipsis"),
         (col("n_alpha_words") * 10 >= col("n_words") * 8)
           .cast(LongType).as("f_alpha"),
@@ -4092,8 +4118,12 @@ object TrainingOps {
     * near-dup canonicals by construction (identical docs always
     * co-band, so an exact group is always inside one component). */
   def curateCorpus(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val (mem, reps) = exactGroups(docs)
-    val pairs = jaccardNearDupPairs(docs, threshold).select("id_a", "id_b")
+    // ONE exactGroups pass feeds both the band pre-collapse and the
+    // keep_exact column (the pair machinery already computes exactly the
+    // membership/rep tables the exact flag needs — review r5 finding)
+    val (pairsPlan, base, mem, reps) = jaccardPairsParts(docs, threshold, 9)
+    val pairs = try pairsPlan.select("id_a", "id_b").localCheckpoint(true)
+      finally base.unpersist() // shingles done; mem feeds the flag below
     val (labels, labelIds, _) = connectedComponentsStarMembersWithRounds(pairs)
     try {
       val keepExact = mem.join(reps, Seq("ek"))
@@ -4176,7 +4206,13 @@ object TrainingOps {
     * Scale shape: doc bigrams are tf-reduced before every join (the
     * x42 lesson); the reference count tables are slice-sized and the
     * totals ride as 1-row broadcasts; every doc returns via the final
-    * left join (under-2-token docs: zero bigrams, null score). */
+    * left join (under-2-token docs: zero bigrams, null score). An
+    * EMPTY reference slice (no doc_id ≡ 0 mod 5 — an id-remapped
+    * subset) has no LM to score against: every bigram backs off
+    * through a null total, so nll degrades to null corpus-wide while
+    * n_bigrams/n_backoff still report — the same all-null shape the
+    * oracle's empty CTEs produce, deliberate and auditable rather
+    * than a fabricated score (review r5). */
   def stupidBackoff(docs: DataFrame, alpha: Double = 0.4): DataFrame = {
     val toksCol = filter(split(lower(col("text")), "[^a-z]+"), w => w =!= "")
     val d = docs.select(col("doc_id"), toksCol.as("toks"))

@@ -2503,10 +2503,13 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> "- a\n- b\n- c",                            // 3/3 bullet lines → fails
       5L -> ("this ends...\nalso ends...\n" + goodWords.mkString(" ")), // 2/3 ellipsis-ended → fails
       6L -> (goodWords.mkString(" ") + " " + ("#" * 20)), // symbol-heavy → fails
-      7L -> (0 until 60).map(_ => "supercalifragilistic").mkString(" ")) // mwl>10, no stopwords
+      7L -> (0 until 60).map(_ => "supercalifragilistic").mkString(" "), // mwl>10, no stopwords
+      // boundary pins for the paper's "remove if MORE THAN" phrasing:
+      // ratio EXACTLY 0.1 and EXACTLY 30% ellipsis lines must PASS
+      8L -> ((0 until 59).map(i => s"word${i % 7}").mkString(" ") + " ######"),
+      9L -> (Seq.fill(3)("ends...") ++ Seq.fill(7)("plain line")).mkString("\n"))
     val docs = texts.toDF("doc_id", "text")
-    val stop = Set("the", "and", "for", "that", "with", "this", "from",
-      "are", "was", "have")
+    val stop = Set("the", "be", "to", "of", "and", "that", "have", "with")
     def countSub(text: String, sub: String): Long = {
       var i = 0; var n = 0L
       while ({ i = text.indexOf(sub, i); i >= 0 }) { n += 1; i += sub.length }
@@ -2526,9 +2529,9 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val f = Seq(
         nw >= 50 && nw <= 100000,
         chars >= nw * 3 && chars <= nw * 10,
-        nSym * 10 < nw,
+        nSym * 10 <= nw,
         nBul * 10 <= nLines * 9,
-        nEll * 10 < nLines * 3,
+        nEll * 10 <= nLines * 3,
         alphaW * 10 >= nw * 8,
         nStop >= 2).map(b => if (b) 1L else 0L)
       id -> ((nw +: f) :+ f.product)
@@ -2539,6 +2542,8 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L).last == 1L && got(4L)(4) == 0L && got(5L)(5) == 0L &&
       got(6L)(3) == 0L && got(7L)(2) == 0L && got(7L)(7) == 0L,
       "branch-forcing docs must trip exactly their target rules")
+    assert(got(8L)(3) == 1L && got(9L)(5) == 1L,
+      "exact-boundary docs (ratio=0.1, 30% ellipsis) must PASS per the paper")
   }
 
   test("packChunkStats: token conservation, full interior chunks, split accounting") {
