@@ -156,7 +156,8 @@ object Bench {
       // composed curation verdict, vocab coverage curve, Stupid Backoff
       // LM scoring, DSIR resampling
       "x104_curate_corpus", "x105_vocab_coverage", "x106_stupid_backoff",
-      "x107_dsir_resample", "x108_data_budget", "x109_curation_funnel")
+      "x107_dsir_resample", "x108_data_budget", "x109_curation_funnel",
+      "x110_ingest_curate")
     // One query pass = best-of-2 trials per query (warm covers plan + IO
     // cache). The OFFICIAL number is the min across TWO passes separated
     // by the multi-minute scaling phase: BENCH_r03's single back-to-back

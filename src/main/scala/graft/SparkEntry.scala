@@ -690,6 +690,10 @@ object SparkEntry {
     // per-source curation funnel (x104 verdicts rolled up)
     "x109_curation_funnel" -> ((s, dir) =>
       TrainingOps.curationFunnel(s.read.parquet(t(dir, "documents")))),
+    // ingest-time gate vs the already-kept corpus (stateless core —
+    // the streaming twin runs the identical plan in append mode)
+    "x110_ingest_curate" -> ((s, dir) =>
+      TrainingOps.ingestCurate(s.read.parquet(t(dir, "documents")))),
     // last-10 rolling mean (reference smartglass_ocr.py:1035-1040 keeps
     // processing_times[-10:] → avg over rowsBetween(-9,0); extraction-
     // layer variant: Pipeline.rollingKindStats; streaming O(10)-state
@@ -1468,16 +1472,17 @@ object SparkEntry {
   /** The x101 Gopher flag bundle — every rule a pure integer comparison
     * (no division) so the flags are bit-portable; list_sum over an
     * empty list is NULL → COALESCE 0 matches Spark's aggregate() zero
-    * start. Shared by x101 and the x104 composed curation verdict. */
-  private def gopherOracleSql: String =
-    """WITH f AS (
+    * start. Shared by x101, the x104 composed curation verdict, and
+    * (over the incoming split) the x110 ingest gate. */
+  private def gopherOracleSql(src: String = "documents"): String =
+    s"""WITH f AS (
       | SELECT doc_id,
-      |  list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |  list_filter(regexp_split_to_array(trim(text), '\\s+'),
       |              x -> x <> '') AS toks,
       |  list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
       |  (length(text) - length(replace(text, '#', ''))) +
       |  (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
-      | FROM documents),
+      | FROM $src),
       |c AS (
       | SELECT doc_id,
       |  CAST(len(toks) AS BIGINT) AS n_words,
@@ -1536,7 +1541,7 @@ object SparkEntry {
        |memb AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
        |ekt AS (SELECT doc_id, md5($normSql) AS ek FROM documents),
        |er AS (SELECT ek, min(doc_id) AS rep FROM ekt GROUP BY ek),
-       |gp AS (SELECT doc_id, pass FROM ($gopherOracleSql))
+       |gp AS (SELECT doc_id, pass FROM (${gopherOracleSql()}))
        |SELECT d.doc_id, d.source,
        | CAST(CASE WHEN er.rep = d.doc_id THEN 1 ELSE 0 END AS BIGINT)
        |   AS keep_exact,
@@ -3106,7 +3111,7 @@ object SparkEntry {
     // x101: every rule a pure integer comparison (no division) so the
     // flags are bit-portable; list_sum over an empty list is NULL →
     // COALESCE 0 matches Spark's aggregate() zero start
-    "x101_gopher_rules" -> gopherOracleSql,
+    "x101_gopher_rules" -> gopherOracleSql(),
     // x102: x30's offset CTEs verbatim, each doc exploded to only the
     // chunks it touches, token slices as least/greatest interval math
     "x102_pack_chunk_stats" ->
@@ -3245,7 +3250,39 @@ object SparkEntry {
          | CAST(sum(pass_gopher) AS BIGINT) AS n_gopher_pass,
          | CAST(sum(keep) AS BIGINT) AS n_kept,
          | CAST(sum(keep) * 10000 // count(*) AS BIGINT) AS kept_bp
-         |FROM c GROUP BY source ORDER BY source""".stripMargin)
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // x110: the x64 two-corpus band CTEs (existence-filtered), the
+    // exact fingerprint set, and the shared Gopher SQL over the
+    // incoming split — the batch twin of the streaming ingest gate
+    "x110_ingest_curate" ->
+      s"""WITH corp AS (SELECT * FROM documents WHERE doc_id % 13 <> 0),
+         |refd AS (SELECT * FROM documents WHERE doc_id % 13 = 0),
+         |${mhBandCtes("corp", "_c")},
+         |${mhBandCtes("refd", "_r")},
+         |cands AS (
+         | SELECT DISTINCT a.doc_id AS c_id, b.doc_id AS r_id
+         | FROM bands_c a JOIN bands_r b ON a.band = b.band AND a.key = b.key),
+         |near AS (
+         | SELECT DISTINCT c_id FROM cands
+         |  JOIN sh_c a ON a.doc_id = c_id JOIN sh_r b ON b.doc_id = r_id
+         | WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+         |   / len(list_distinct(a.sh || b.sh)), 4) >= 0.8),
+         |ex AS (SELECT DISTINCT md5($normSql) AS ek FROM refd),
+         |gp AS (SELECT doc_id, pass FROM (${gopherOracleSql("corp")}))
+         |SELECT c.doc_id,
+         | CAST(CASE WHEN e.ek IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |   AS exact_dup,
+         | CAST(CASE WHEN n.c_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |   AS near_dup,
+         | gp.pass AS pass_gopher,
+         | CAST((1 - CASE WHEN e.ek IS NOT NULL THEN 1 ELSE 0 END)
+         |  * (1 - CASE WHEN n.c_id IS NOT NULL THEN 1 ELSE 0 END)
+         |  * gp.pass AS BIGINT) AS keep
+         |FROM corp c
+         | LEFT JOIN ex e ON md5(${normSql.replace("text", "c.text")}) = e.ek
+         | LEFT JOIN near n ON c.doc_id = n.c_id
+         | JOIN gp ON c.doc_id = gp.doc_id
+         |ORDER BY c.doc_id""".stripMargin)
 
   private def spansOracleSql(src: String = "documents", prefix: String = ""): String =
     s"""WITH ${prefix}lines AS (

@@ -135,33 +135,43 @@ object TrainingOps {
     * recomputations per doc (measured 209 s at sf0.1 vs ~2 s with the
     * boundary; higher-order functions are not codegen'd). At 100 TB
     * this boundary is a written signature table. Caller unpersists. */
+  /** The distinct k-gram shingle set of a text column — the row-level
+    * expression [[shingleBase]] materializes and the x110 streaming
+    * gate computes per arriving row (one source, no drift). */
+  private def shingleSetCol(text: Column, k: Int): Column = {
+    val n = normText(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+      i => substring(n, i.cast("int"), lit(k))))
+  }
+
+  /** Portable 32-bit hashes of a shingle array. */
+  private def shingleHashCol(sh: Column): Column =
+    transform(sh, s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
+
   private def shingleBase(docs: DataFrame, k: Int): DataFrame = {
     val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    val n = normText(col("text"))
-    val sh = transform(
-      sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
-      i => substring(n, i.cast("int"), lit(k)))
-    spread.select(col("doc_id"), array_distinct(sh).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        transform(col("sh"),
-          s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)).as("hl"))
+    spread.select(col("doc_id"), shingleSetCol(col("text"), k).as("sh"))
+      .select(col("doc_id"), col("sh"), shingleHashCol(col("sh")).as("hl"))
       .persist()
+  }
+
+  /** The two 4-row minhash band keys of a shingle-hash array — shared
+    * by the [[bandKeys]] table build and the x110 per-row gate. */
+  private def bandKeyPair(hl: Column): (Column, Column) = {
+    val ms = JacA.indices.map { i =>
+      array_min(transform(hl, x => pmod(x * JacA(i) + JacB(i), lit(JacP))))
+    }
+    (concat_ws(":", ms.take(4): _*), concat_ws(":", ms.drop(4): _*))
   }
 
   /** 2×4-row minhash band keys over a [[shingleBase]] table. */
   private def bandKeys(base: DataFrame): DataFrame = {
-    val mhCols = JacA.indices.map { i =>
-      array_min(transform(col("hl"),
-        x => pmod(x * JacA(i) + JacB(i), lit(JacP)))).as(s"m$i")
-    }
-    base.select((col("doc_id") +: mhCols): _*)
-      .select(col("doc_id"),
+    val (k0, k1) = bandKeyPair(col("hl"))
+    base.select(col("doc_id"),
         explode(array(
-          struct(lit(0).as("band"),
-            concat_ws(":", col("m0"), col("m1"), col("m2"), col("m3")).as("key")),
-          struct(lit(1).as("band"),
-            concat_ws(":", col("m4"), col("m5"), col("m6"), col("m7")).as("key"))
-        )).as("b"))
+          struct(lit(0).as("band"), k0.as("key")),
+          struct(lit(1).as("band"), k1.as("key")))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
   }
 
@@ -3995,27 +4005,47 @@ object TrainingOps {
   private val gopherStopwords =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The eight Gopher rule inputs as one struct expression over a text
+    * column — the single source both [[gopherRules]] and the x110
+    * ingest gate score from (no drift between the audit table and the
+    * streaming gate). */
+  private def gopherCounts(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
+    val lines = filter(split(text, "\n"), l => l =!= "")
+    val nSym = (length(text)
+      - length(call_function("replace", text, lit("#"), lit("")))) +
+      (length(text)
+        - length(call_function("replace", text, lit("..."), lit("")))) / 3
+    struct(
+      size(toks).cast(LongType).as("n_words"),
+      aggregate(transform(toks, t => length(t).cast(LongType)),
+        lit(0L), (a, b) => a + b).as("n_word_chars"),
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType)
+        .as("n_alpha_words"),
+      size(filter(toks, t => lower(t).isInCollection(gopherStopwords)))
+        .cast(LongType).as("n_stop"),
+      nSym.cast(LongType).as("n_sym"),
+      size(lines).cast(LongType).as("n_lines"),
+      size(filter(lines, l => trim(l).rlike("^[-*•]")))
+        .cast(LongType).as("n_bullet"),
+      size(filter(lines, l => l.endsWith("..."))).cast(LongType)
+        .as("n_ellipsis"))
+  }
+
+  /** The composed pass verdict over a [[gopherCounts]] struct. */
+  private def gopherPass(gc: Column): Column =
+    (gc.getField("n_words") >= 50 && gc.getField("n_words") <= 100000 &&
+      gc.getField("n_word_chars") >= gc.getField("n_words") * 3 &&
+      gc.getField("n_word_chars") <= gc.getField("n_words") * 10 &&
+      gc.getField("n_sym") * 10 <= gc.getField("n_words") &&
+      gc.getField("n_bullet") * 10 <= gc.getField("n_lines") * 9 &&
+      gc.getField("n_ellipsis") * 10 <= gc.getField("n_lines") * 3 &&
+      gc.getField("n_alpha_words") * 10 >= gc.getField("n_words") * 8 &&
+      gc.getField("n_stop") >= 2).cast(LongType)
+
   def gopherRules(docs: DataFrame): DataFrame = {
-    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
-    val lines = filter(split(col("text"), "\n"), l => l =!= "")
-    val nSym = (length(col("text"))
-      - length(call_function("replace", col("text"), lit("#"), lit("")))) +
-      (length(col("text"))
-        - length(call_function("replace", col("text"), lit("..."), lit("")))) / 3
-    docs.select(col("doc_id"),
-        size(toks).cast(LongType).as("n_words"),
-        aggregate(transform(toks, t => length(t).cast(LongType)),
-          lit(0L), (a, b) => a + b).as("n_word_chars"),
-        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType)
-          .as("n_alpha_words"),
-        size(filter(toks, t => lower(t).isInCollection(gopherStopwords)))
-          .cast(LongType).as("n_stop"),
-        nSym.cast(LongType).as("n_sym"),
-        size(lines).cast(LongType).as("n_lines"),
-        size(filter(lines, l => trim(l).rlike("^[-*•]")))
-          .cast(LongType).as("n_bullet"),
-        size(filter(lines, l => l.endsWith("..."))).cast(LongType)
-          .as("n_ellipsis"))
+    docs.select(col("doc_id"), gopherCounts(col("text")).as("gc"))
+      .select(col("doc_id"), col("gc.*"))
       .select(col("doc_id"), col("n_words"),
         (col("n_words") >= 50 && col("n_words") <= 100000)
           .cast(LongType).as("f_word_count"),
@@ -4325,5 +4355,93 @@ object TrainingOps {
           - col("log_iw")).as("key"))
       .orderBy(asc("key"), asc("doc_id"))
       .limit(k)
+  }
+
+  /** The reference-side tables of the x110 ingest gate, built ONCE and
+    * persisted (at 100 TB: written tables the ingest job broadcasts or
+    * joins against): the distinct normalized-text fingerprint set, the
+    * (persisted) shingle table of one representative per distinct ref
+    * text, and the band-bucket table mapping each band key to the
+    * shingle sets it holds. Bucket arrays are bounded by LSH bucket
+    * occupancy (the quantity x72 measures) times the rep pre-collapse —
+    * duplicate ref texts contribute ONE set. Caller unpersists all
+    * three. */
+  private[graft] def ingestRefTables(ref: DataFrame, k: Int = 9)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val refFp = ref.select(md5(normText(col("text"))).as("ek"))
+      .distinct().persist()
+    val repIds = ref
+      .select(col("doc_id"), md5(normText(col("text"))).as("ek"))
+      .groupBy("ek").agg(min("doc_id").as("doc_id"))
+    val base = shingleBase(ref.join(repIds, Seq("doc_id")), k)
+    val buckets = bandKeys(base)
+      .join(base.select(col("doc_id"), col("sh")), Seq("doc_id"))
+      .groupBy("band", "key").agg(collect_list(col("sh")).as("shs"))
+      .persist()
+    (refFp, base, buckets)
+  }
+
+  /** The per-document ingest verdict — STATELESS by construction so the
+    * same plan runs batch and as a Structured Streaming append-mode
+    * query ([[graft.streaming.StreamingPipeline.streamIngestCurate]]):
+    * each row computes its fingerprint, shingle set, and its TWO band
+    * keys as plain columns (no explode, no aggregation), LEFT-joins the
+    * static fingerprint set (exact dup) and each band bucket (near-dup
+    * candidates), and decides near-dup with an `exists` over the
+    * candidate shingle sets at the same round(jaccard,4) ≥ t rule the
+    * x13/x64 family verifies with. Every arriving doc emits exactly one
+    * decided row — no update-mode aggregation, no watermark, no state
+    * store. */
+  private[graft] def ingestCurateCore(docs: DataFrame, refFp: DataFrame,
+      buckets: DataFrame, threshold: Double, k: Int = 9): DataFrame = {
+    val enriched = docs.select(col("doc_id"), col("text"),
+        md5(normText(col("text"))).as("ek"),
+        shingleSetCol(col("text"), k).as("sh"))
+      .withColumn("hl", shingleHashCol(col("sh")))
+    val (bk0, bk1) = bandKeyPair(col("hl"))
+    val keyed = enriched.select(col("doc_id"), col("text"), col("ek"),
+      col("sh"), bk0.as("k0"), bk1.as("k1"))
+    val b0 = buckets.filter(col("band") === 0)
+      .select(col("key").as("k0"), col("shs").as("shs0"))
+    val b1 = buckets.filter(col("band") === 1)
+      .select(col("key").as("k1"), col("shs").as("shs1"))
+    val fp = refFp.withColumn("fp_hit", lit(1L))
+    val emptyShs = array().cast("array<array<string>>")
+    val cand = concat(coalesce(col("shs0"), emptyShs),
+      coalesce(col("shs1"), emptyShs))
+    val nearDup = exists(cand, r =>
+      round(size(array_intersect(col("sh"), r)).cast(DoubleType)
+        / size(array_union(col("sh"), r)), 4) >= threshold)
+    keyed
+      .join(fp, Seq("ek"), "left")
+      .join(b0, Seq("k0"), "left")
+      .join(b1, Seq("k1"), "left")
+      .select(col("doc_id"),
+        coalesce(col("fp_hit"), lit(0L)).as("exact_dup"),
+        nearDup.cast(LongType).as("near_dup"),
+        gopherPass(gopherCounts(col("text"))).as("pass_gopher"))
+      .withColumn("keep",
+        (lit(1L) - col("exact_dup"))
+          * (lit(1L) - col("near_dup")) * col("pass_gopher"))
+  }
+
+  /** Ingest-time curation gate — the TWO-corpus composition closing the
+    * curation family: every INCOMING document (doc_id ≢ 0 mod 13, the
+    * x64 split convention) is decided against the ALREADY-KEPT
+    * reference corpus (≡ 0 mod 13): exact duplicate of a ref text,
+    * near-duplicate of one (band-blocked 9-gram Jaccard ≥ t, x64's
+    * rule), and the x101 Gopher pass — keep = none-of-the-dups AND
+    * pass. Duplicates WITHIN the incoming batch are deliberately not
+    * flagged here (that is x13's job after admission); this is the
+    * gate a crawler runs before anything enters the corpus, and its
+    * core is stateless so the STREAMING twin runs the identical plan
+    * in append mode. */
+  def ingestCurate(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val corpus = docs.filter(pmod(col("doc_id"), lit(13L)) =!= 0)
+    val ref = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+    val (refFp, base, buckets) = ingestRefTables(ref)
+    try ingestCurateCore(corpus, refFp, buckets, threshold)
+      .orderBy("doc_id").localCheckpoint(true)
+    finally { refFp.unpersist(); base.unpersist(); buckets.unpersist() }
   }
 }

@@ -101,6 +101,27 @@ object StreamingPipeline {
     * identical to batch across any micro-batch split, spec-pinned).
     * The calibration table is persisted so triggers don't recompute
     * the historical percentiles. */
+  /** Streaming ingest-curation gate — the live twin of the batch x110
+    * query: the reference corpus's fingerprint set and band buckets are
+    * built ONCE ([[graft.ops.TrainingOps.ingestRefTables]], persisted
+    * for the life of the query — the streamDecontaminate convention),
+    * and every arriving document runs the SAME stateless
+    * [[graft.ops.TrainingOps.ingestCurateCore]] plan the batch query
+    * runs: per-row band keys, two stream-static bucket joins, an
+    * `exists` jaccard verify, and the Gopher pass — one decided APPEND
+    * row per doc, no state store, so the verdict stream is identical
+    * to batch across any micro-batch split (spec-pinned). */
+  def streamIngestCurate(docs: DataFrame, ref: DataFrame,
+                         threshold: Double = 0.8): DataFrame = {
+    val (refFp, base, buckets) = graft.ops.TrainingOps.ingestRefTables(ref)
+    // materialize both static caches eagerly, then release the shingle
+    // table — it only feeds the bucket build and would otherwise stay
+    // persisted for the life of the query
+    buckets.count(); refFp.count()
+    base.unpersist()
+    graft.ops.TrainingOps.ingestCurateCore(docs, refFp, buckets, threshold)
+  }
+
   def streamCalibratedScores(docs: DataFrame,
                              historical: DataFrame): DataFrame = {
     val calib = graft.ops.TrainingOps.calibrationStats(historical).persist()

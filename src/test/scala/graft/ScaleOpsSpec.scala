@@ -2728,6 +2728,41 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp, s"funnel drifted")
   }
 
+  test("ingestCurate: flags reconcile with crossNearDup/gopherRules; ref clones are caught") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$sfMid/documents.parquet")
+      .select("doc_id", "text", "source")
+    // clone a REFERENCE doc (13 % 13 == 0) into the incoming split
+    // (100001 % 13 == 5): the gate must flag it exact AND near
+    val clone = base.filter(col("doc_id") === 13)
+      .select(lit(100001L).as("doc_id"), col("text"), lit("cloned").as("source"))
+    val docs = base.unionByName(clone)
+    val got = TrainingOps.ingestCurate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got.size == docs.filter("doc_id % 13 <> 0").count(),
+      "every incoming doc decided exactly once")
+    assert(got(100001L)._1 == 1L && got(100001L)._2 == 1L &&
+      got(100001L)._4 == 0L, s"ref clone must be gated out: ${got(100001L)}")
+    got.values.foreach { case (ex, near, pg, keep) =>
+      assert(ex == 0L || near == 1L, "an exact ref dup is always a near dup")
+      assert(keep == (1 - ex) * (1 - near) * pg, "keep must be the conjunction")
+    }
+    // near flag ≡ the x64 cross-corpus machinery's verdict on the same split
+    val corpus = docs.filter("doc_id % 13 <> 0")
+    val ref = docs.filter("doc_id % 13 = 0")
+    val x64 = TrainingOps.crossNearDup(corpus, ref).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    got.foreach { case (id, (_, near, _, _)) =>
+      assert(near == 1L - x64(id), s"$id near flag drifted from crossNearDup")
+    }
+    val gp = TrainingOps.gopherRules(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(9)).toMap
+    got.foreach { case (id, (_, _, pg, _)) =>
+      assert(pg == gp(id), s"$id gopher flag drifted")
+    }
+  }
+
   test("dsirResample: selection equals a JVM A-ES recompute over the x62 weights") {
     val docs = spark.read.parquet(s"$sfMid/documents.parquet")
     val q4 = (x: Double) =>

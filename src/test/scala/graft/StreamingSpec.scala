@@ -437,4 +437,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(302L)._5 == 0.0 && byId(304L)._5 == 0.0,
       "constant-calibration source must read z=0 for any live score")
   }
+
+  test("streaming ingest gate == batch x110 core, across micro-batch splits") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference corpus: two distinct long texts (9-gram shingles need
+    // length); the stream sees an exact clone, unrelated docs, and a
+    // duplicate-of-duplicate across different micro-batches
+    val refText =
+      "the quick brown fox jumps over the lazy dog again and again tonight"
+    val otherRef =
+      "completely different reference material about integer arithmetic rules"
+    val ref = Seq((13L, refText), (26L, otherRef)).toDF("doc_id", "text")
+    val live1 = Seq((1L, refText), (2L, "short novel text one of a kind here"))
+    val live2 = Seq((3L, refText), (4L, "another fresh document nothing like the reference"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.streamIngestCurate(
+      input.toDF().toDF("doc_id", "text"), ref)
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(live1: _*)
+    q.processAllAvailable()
+    input.addData(live2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rowSet(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val streamed = rowSet(spark.sql("SELECT * FROM ingest_out").collect())
+    val (refFp, base, buckets) = graft.ops.TrainingOps.ingestRefTables(ref)
+    val batch = try rowSet(graft.ops.TrainingOps.ingestCurateCore(
+      (live1 ++ live2).toDF("doc_id", "text"), refFp, buckets, 0.8).collect())
+    finally { refFp.unpersist(); base.unpersist(); buckets.unpersist() }
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    val byId = streamed.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 1L && byId(1L)._3 == 1L && byId(1L)._5 == 0L,
+      "an exact ref clone must be gated out in-stream")
+    assert(byId(3L)._2 == 1L,
+      "a clone arriving in a LATER micro-batch is still caught (static ref)")
+    assert(byId(2L)._2 == 0L && byId(2L)._3 == 0L,
+      "fresh text must not trip the dup flags")
+  }
 }
