@@ -4394,12 +4394,24 @@ object TrainingOps {
     * store. */
   private[graft] def ingestCurateCore(docs: DataFrame, refFp: DataFrame,
       buckets: DataFrame, threshold: Double, k: Int = 9): DataFrame = {
+    // Generate (explode-of-one) barriers: x13 materializes the shingle
+    // and md5-hash arrays behind a persist, which a streaming plan
+    // cannot do — but CollapseProject cannot inline through a Generate
+    // either, so each barrier pins its arrays computed ONCE per row.
+    // Without them the 8 minhash columns each re-derive the 9-gram +
+    // per-shingle-md5 chain (~9 full rehashes per row — the disease
+    // that made x13 209 s; measured 45.7 s for this operator at sf0.1,
+    // 8.5× the x64 band family).
     val enriched = docs.select(col("doc_id"), col("text"),
-        md5(normText(col("text"))).as("ek"),
-        shingleSetCol(col("text"), k).as("sh"))
-      .withColumn("hl", shingleHashCol(col("sh")))
+        explode(array(struct(
+          md5(normText(col("text"))).as("ek"),
+          shingleSetCol(col("text"), k).as("sh")))).as("e"))
+      .select(col("doc_id"), col("text"),
+        col("e.ek").as("ek"), col("e.sh").as("sh"))
+    val hashed = enriched.select(col("doc_id"), col("text"), col("ek"),
+        col("sh"), explode(array(shingleHashCol(col("sh")))).as("hl"))
     val (bk0, bk1) = bandKeyPair(col("hl"))
-    val keyed = enriched.select(col("doc_id"), col("text"), col("ek"),
+    val keyed = hashed.select(col("doc_id"), col("text"), col("ek"),
       col("sh"), bk0.as("k0"), bk1.as("k1"))
     val b0 = buckets.filter(col("band") === 0)
       .select(col("key").as("k0"), col("shs").as("shs0"))
@@ -4437,7 +4449,13 @@ object TrainingOps {
     * core is stateless so the STREAMING twin runs the identical plan
     * in append mode. */
   def ingestCurate(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // spread BEFORE the per-row hashing: a small documents table is one
+    // parquet split, and the ~2k-md5-per-doc shingle stage would run in
+    // ONE task (the x13 single-file lesson — measured 15.7 s of this
+    // operator's 30 s at sf0.1 in exactly that shape). The streaming
+    // twin needs no spread: micro-batches arrive source-partitioned.
     val corpus = docs.filter(pmod(col("doc_id"), lit(13L)) =!= 0)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val ref = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
     val (refFp, base, buckets) = ingestRefTables(ref)
     try ingestCurateCore(corpus, refFp, buckets, threshold)
