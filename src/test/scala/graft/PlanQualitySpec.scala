@@ -724,4 +724,28 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"),
       s"global top-k must not materialize a full sort:\n$p")
   }
+
+  test("x110 core: the Generate barriers keep the md5 shingle chain computed once") {
+    // the stateless core cannot persist (it must run as a streaming
+    // plan), so its shingle/hash arrays are pinned behind explode-of-one
+    // Generates — if CollapseProject ever re-inlines them, the 8 minhash
+    // columns each re-derive the per-shingle md5 chain (the 45.7 s
+    // regression this spec pins out). Counted on the OPTIMIZED plan:
+    // re-inlining multiplies the per-shingle-hash pattern ~8×.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(13L)) =!= 0)
+    val ref = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+    val (refFp, base, buckets) = graft.ops.TrainingOps.ingestRefTables(ref)
+    try {
+      val p = graft.ops.TrainingOps
+        .ingestCurateCore(corpus, refFp, buckets, 0.8)
+        .queryExecution.optimizedPlan.toString
+    assert(p.linesIterator.count(_.contains("Generate explode")) >= 2,
+        s"the shingle and hash barriers must survive optimization:\n${p.take(4000)}")
+      val shingleHashes = "conv\\(substring\\(md5".r.findAllIn(p).length
+      assert(shingleHashes <= 5,
+        s"per-shingle md5 chain inlined $shingleHashes times — barrier lost")
+    } finally { refFp.unpersist(); base.unpersist(); buckets.unpersist() }
+  }
 }
