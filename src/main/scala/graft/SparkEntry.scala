@@ -178,14 +178,20 @@ object SparkEntry {
       containmentJoin(s.read.parquet(t(dir, "part"))
         .select(col("p_partkey"), col("p_name")))),
     // --- extraction pipeline (line machines: golden-verified, no SQL oracle)
+    // numPartitions = full parallelism: the documents table is a single
+    // parquet split, so without the salted repartition the whole typed
+    // extraction stage runs in ONE task (measured 1.5 s single-threaded
+    // at sf0.1; the bench extraction path already spreads the same way)
     "x01_extract_full" -> ((s, dir) => {
-      Pipeline.extractTurns(Pipeline.turnsFromDocuments(s, dir)).toDF()
+      Pipeline.extractTurns(Pipeline.turnsFromDocuments(s, dir),
+          s.sparkContext.defaultParallelism).toDF()
         .select("conv_id", "turn_idx", "status", "text", "detected_language",
           "document_structure", "summary", "n_chars", "n_tokens")
         .orderBy("conv_id", "turn_idx")
     }),
     "x02_extract_metrics" -> ((s, dir) =>
-      Pipeline.metrics(Pipeline.extractTurns(Pipeline.turnsFromDocuments(s, dir)))
+      Pipeline.metrics(Pipeline.extractTurns(Pipeline.turnsFromDocuments(s, dir),
+          s.sparkContext.defaultParallelism))
         .orderBy("payload_kind", "status", "detected_language")),
     "x03_simhash" -> ((s, dir) =>
       TrainingOps.simhash(s.read.parquet(t(dir, "documents")))),

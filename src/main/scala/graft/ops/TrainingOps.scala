@@ -22,6 +22,20 @@ object TrainingOps {
   def portableHash(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
 
+  /** Round-robin the input to the session's full parallelism BEFORE a
+    * compute-heavy per-row stage (gram generate + per-gram md5, typed
+    * extraction): a small documents table is ONE parquet split, so
+    * without this the whole hash stage runs in a single task (measured:
+    * x48's 13-gram table 4.3 s, x19's decontamination gram pass 3.6 s,
+    * q12's minhash band build 108 s at sf0.1 — all single-threaded).
+    * Same boundary shingleBase/exactGroups already pay; at cluster
+    * scale the scan has natural parallelism and this shuffle is the
+    * same one writing the signature/gram table costs (guide §2.3-2.4:
+    * the shuffled bytes are the SMALL pre-explode rows, never the
+    * generated grams). */
+  private def spreadInput(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   // --- deduplication ------------------------------------------------------
 
   /** Exact dedup: hash-groupBy on the normalized text. At scale this is
@@ -41,7 +55,7 @@ object TrainingOps {
     val sh = transform(
       sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
       i => substring(n, i.cast("int"), lit(k)))
-    docs.select(
+    spreadInput(docs).select(
       col("doc_id"),
       concat_ws("|", slice(array_sort(array_distinct(sh)), 1, bottomK)).as("sig"))
       .orderBy("doc_id")
@@ -54,26 +68,51 @@ object TrainingOps {
   val MinhashA = Array(1103515245L, 1103577811L, 998244353L, 776531401L)
   val MinhashB = Array(12345L, 54321L, 7919L, 104729L)
 
-  def minhashSignatures(docs: DataFrame, k: Int = 5): DataFrame = {
+  /** The distinct-shingle md5-hash array of [[minhashSignatures]] /
+    * [[minhashBuckets]] as one expression — the single source both the
+    * prunable signature projection and the barriered bucket path share. */
+  private def minhashShingleInts(k: Int): Column = {
     val n = normText(col("text"))
     val sh = transform(
       sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
       i => substring(n, i.cast("int"), lit(k)))
-    val shInts = transform(array_distinct(sh),
+    transform(array_distinct(sh),
       s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
-    val mhCols = MinhashA.indices.map { i =>
-      array_min(transform(shInts,
-        x => pmod(x * MinhashA(i) + MinhashB(i), lit(MinhashP)))).as(s"mh$i")
-    }
-    docs.select((col("doc_id") +: mhCols): _*).orderBy("doc_id")
+  }
+
+  private def minhashCols(hl: Column): Seq[Column] = MinhashA.indices.map { i =>
+    array_min(transform(hl,
+      x => pmod(x * MinhashA(i) + MinhashB(i), lit(MinhashP)))).as(s"mh$i")
+  }
+
+  /** Kept a pure projection (no barrier, no repartition) deliberately:
+    * a count-only consumer prunes the signature columns entirely, and
+    * the real-output path is embarrassingly parallel wherever the scan
+    * is. The shared-hash-array shape for downstream composition is
+    * [[minhashBuckets]]'s barriered path. */
+  def minhashSignatures(docs: DataFrame, k: Int = 5): DataFrame = {
+    val shInts = minhashShingleInts(k)
+    docs.select((col("doc_id") +: minhashCols(shInts)): _*).orderBy("doc_id")
   }
 
   /** LSH buckets (2 rows/band over the 4 minhashes): emit only buckets
     * with >1 doc — the candidate near-dup sets. At 100 TB this is the
     * scale path: a groupBy on short band keys instead of any pairwise
-    * comparison. */
+    * comparison.
+    *
+    * Generate (explode-of-one) barrier, the x110 convention:
+    * CollapseProject cannot inline through a Generate, so the
+    * shingle+md5 hash array is computed ONCE per row. Without it the
+    * chain re-inlines into all 4 minhash columns and — with the
+    * single-split scan — the whole per-shingle md5 pass ran 4× per doc
+    * in ONE task (measured: 108 s at sf0.1; barrier + spread make the
+    * same query 1.8 s). */
   def minhashBuckets(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
+    val based = spreadInput(docs)
+      .select(col("doc_id"),
+        explode(array(struct(minhashShingleInts(5).as("hl")))).as("e"))
+      .select(col("doc_id"), col("e.hl").as("hl"))
+    val sigs = based.select((col("doc_id") +: minhashCols(col("hl"))): _*)
     val bands = sigs.select(col("doc_id"),
       explode(array(
         struct(lit(0).as("band"), concat_ws(":", col("mh0"), col("mh1")).as("key")),
@@ -231,7 +270,12 @@ object TrainingOps {
     * measures exactly the join that ships. */
   private def repBandCandidates(docs: DataFrame, k: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (mem, reps) = exactGroups(docs)
+    val (mem, reps0) = exactGroups(docs)
+    // reps is referenced three times downstream (rep filter + the two
+    // ek-attach joins of expandRepPairs); persist so the membership
+    // re-aggregation runs once (sf0.1-neutral, but at 100 TB this is
+    // the written rep table every composer reuses). Caller releases.
+    val reps = reps0.persist()
     val repDocs = docs.join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"))
     val base = shingleBase(repDocs, k)
     val bands = bandKeys(base)
@@ -244,16 +288,30 @@ object TrainingOps {
 
   private[graft] def jaccardNearDupPairsPlan(
       docs: DataFrame, threshold: Double = 0.8, k: Int = 9): (DataFrame, Seq[DataFrame]) = {
-    val (verified, base, mem, _) = jaccardPairsParts(docs, threshold, k)
-    (verified, Seq(base, mem))
+    val (verified, base, mem, reps) = jaccardPairsParts(docs, threshold, k)
+    // the deterministic-oracle sort belongs to the PUBLIC x13 surface
+    // only — composers (components, canonical selection, curation)
+    // consume the pairs order-free and skip a corpus-pair sort exchange
+    (verified.orderBy("id_a", "id_b"), Seq(base, mem, reps))
   }
 
-  /** The pair pipeline with its internals exposed — verified pairs plus
-    * the (persisted) shingle table and the exact-group membership/rep
-    * tables, so compositions (x104 curateCorpus) can reuse the SAME
-    * fingerprint tables for their exact-dedup columns instead of
-    * re-scanning the corpus through a second exactGroups. Caller
-    * unpersists base and mem. */
+  /** UNSORTED verified pairs, materialized and cache-released — the
+    * entry point for composers (x14/x37/x49/x91/x100) that feed the
+    * pairs into order-free machinery (connected components): same rows
+    * as x13, minus the presentation sort exchange. */
+  private def jaccardPairsForCompose(docs: DataFrame, threshold: Double,
+                                     k: Int = 9): DataFrame = {
+    val (verified, base, mem, reps) = jaccardPairsParts(docs, threshold, k)
+    try verified.select("id_a", "id_b").localCheckpoint(true)
+    finally { base.unpersist(); mem.unpersist(); reps.unpersist() }
+  }
+
+  /** The pair pipeline with its internals exposed — UNSORTED verified
+    * pairs plus the (persisted) shingle table and the exact-group
+    * membership/rep tables, so compositions (x104 curateCorpus) can
+    * reuse the SAME fingerprint tables for their exact-dedup columns
+    * instead of re-scanning the corpus through a second exactGroups.
+    * Caller unpersists base, mem and reps. */
   private def jaccardPairsParts(
       docs: DataFrame, threshold: Double, k: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -273,7 +331,6 @@ object TrainingOps {
     // pair's exact candidacy condition. Output is therefore IDENTICAL.
     val verified = expandRepPairs(repPairs, reps, mem, Seq("jaccard"))
       .unionByName(withinGroupPairs(mem, Seq(lit(1.0).as("jaccard"))))
-      .orderBy("id_a", "id_b")
     (verified, base, mem, reps)
   }
 
@@ -284,9 +341,9 @@ object TrainingOps {
     * ([[repBandCandidates]]), so the linear-candidates spec measures
     * the shipped join, not a parallel reconstruction. */
   private[graft] def jaccardBandCandidateCount(docs: DataFrame, k: Int = 9): Long = {
-    val (cands, base, mem, _) = repBandCandidates(docs, k)
+    val (cands, base, mem, reps) = repBandCandidates(docs, k)
     try cands.count()
-    finally { base.unpersist(); mem.unpersist() }
+    finally { base.unpersist(); mem.unpersist(); reps.unpersist() }
   }
 
   /** Duplicate components: connected components over the near-dup pair
@@ -300,7 +357,7 @@ object TrainingOps {
     * clusters), so rounds ≈ 2-3. */
   def dupComponents(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     labelPropagationComponents(
-      jaccardNearDupPairs(docs, threshold).select("id_a", "id_b"))
+      jaccardPairsForCompose(docs, threshold))
 
   /** Same dedup-group contract as [[dupComponents]], but through the
     * O(log n) large-star/small-star contraction — the variant that
@@ -311,7 +368,7 @@ object TrainingOps {
     * spec-level equivalence (VERDICT r03 next #4). */
   def dupComponentsStar(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     connectedComponentsStar(
-      jaccardNearDupPairs(docs, threshold).select("id_a", "id_b"))
+      jaccardPairsForCompose(docs, threshold))
 
   /** localCheckpoint wrapper that reports which persistent-RDD ids the
     * checkpoint created, so iterative algorithms can release a superseded
@@ -436,7 +493,9 @@ object TrainingOps {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
+      // dedup deferred: smallStar's terminal distinct collapses any
+      // duplicate edges this step emits (min over u is unaffected by
+      // multiplicity), saving one full-edge-set exchange per round
     }
     def smallStar(e: DataFrame): DataFrame = {
       val toMin = e.select(
@@ -837,8 +896,10 @@ object TrainingOps {
     // per-row norm computed ONCE here and reused per candidate pair —
     // the pair stage then pays a single dot product, not dot + 2 norms
     // (sqrt(dot(x,x)) is the same double either way, so the rounded sim
-    // matches the oracle bit-for-bit)
-    val base = embeddings.select(col("vec_id"), col("embedding"),
+    // matches the oracle bit-for-bit). Spread: the single-split
+    // embeddings scan otherwise runs the per-row norm/cell lambdas in
+    // ONE task on both join branches (see spreadInput).
+    val base = spreadInput(embeddings).select(col("vec_id"), col("embedding"),
       sqrt(aggregate(emb, lit(0.0), (s, v) => s + v * v)).as("nrm"),
       array(cellCols: _*).as("cell"))
     // the lex-non-negative half of the 3^gridDims neighbor offsets
@@ -1076,13 +1137,18 @@ object TrainingOps {
     * Documents shorter than n words contribute their whole token run
     * as one gram (clamped slice — mirrored by list_slice in SQL). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13): DataFrame =
-    decontaminateCore(docs, benchmarkGrams(benchmark, n), n).orderBy("doc_id")
+    // spread the corpus side before the per-gram md5 stage (the batch
+    // wrapper only — the shared core stays shuffle-free so the streaming
+    // twin's micro-batches keep their source partitioning)
+    decontaminateCore(spreadInput(docs), benchmarkGrams(benchmark, n), n)
+      .orderBy("doc_id")
 
   /** Distinct benchmark gram-hash set — shared by [[decontaminate]] and
     * the streaming form (which persists it so the static join side is
-    * not recomputed every micro-batch). */
+    * not recomputed every micro-batch). Spread: the benchmark slice is
+    * small but its gram+md5 pass is not free (~1/97 of the corpus's). */
   private[graft] def benchmarkGrams(benchmark: DataFrame, n: Int): DataFrame =
-    benchmark
+    spreadInput(benchmark)
       .select(explode(array_distinct(wordGramHashes(col("text"), n))).as("g")).distinct()
 
   /** The unordered decontamination body — ONE implementation behind the
@@ -1148,7 +1214,7 @@ object TrainingOps {
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    val dGrams = docs
+    val dGrams = spreadInput(docs)
       .select(col("doc_id"), explode(array_distinct(wordGramHashes(col("text"), n))).as("g"))
       .filter(call_function("might_contain_long", lit(blob), col("g")))
     val out = dGrams.join(bGrams, Seq("g"))
@@ -1222,7 +1288,7 @@ object TrainingOps {
               | THEN transform(sequence(1, size(w) - ${n - 1}),
               |                i -> named_struct('n', $n, 'g', concat_ws(' ', slice(w, i, $n))))
               | ELSE array() END""".stripMargin)
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    spreadInput(docs).select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(concat(grams(2), grams(3))).as("t"))
       .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
       .agg(count(lit(1)).as("c"))
@@ -1713,15 +1779,16 @@ object TrainingOps {
     * post-cap set sizes so both engines use the same universe. */
   def winnowContainmentPairs(docs: DataFrame, minBp: Int = 8000, k: Int = 8,
                              w: Int = 4, maxDf: Int = 50): DataFrame = {
-    val (plan, kept) = winnowContainmentPairsPlan(docs, minBp, k, w, maxDf)
-    try plan.localCheckpoint(true) finally kept.unpersist()
+    val (plan, caches) = winnowContainmentPairsPlan(docs, minBp, k, w, maxDf)
+    try plan.localCheckpoint(true) finally caches.foreach(_.unpersist())
   }
 
-  /** The lazy plan + its cached fingerprint table (PlanQualitySpec /
-    * cache-managing callers). */
+  /** The lazy plan + its cached tables — the pre-cap fingerprint table
+    * and the post-cap kept table (PlanQualitySpec / cache-managing
+    * callers unpersist both). */
   private[graft] def winnowContainmentPairsPlan(
       docs: DataFrame, minBp: Int = 8000, k: Int = 8, w: Int = 4,
-      maxDf: Int = 50): (DataFrame, DataFrame) = {
+      maxDf: Int = 50): (DataFrame, Seq[DataFrame]) = {
     // Spread before the md5 stage: one parquet file = one task otherwise
     // (same fix as jaccardNearDupPairsPlan — the signature computation is
     // the expensive stage and must use the full parallelism).
@@ -1742,12 +1809,23 @@ object TrainingOps {
       i => array_min(slice(h, i.cast("int") + 1, lit(w))))
     val fps = withHashes
       .select(col("doc_id"), explode(array_distinct(windowMins)).as("fp"))
-    // df-cap via a window over fp (one shuffle, no extra join), THEN the
-    // single persist boundary: the cached post-cap table feeds the two
-    // self-join sides and the size aggregate without recomputing md5.
-    val kept = fps
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
-      .filter(col("df") <= maxDf).drop("df")
+      .persist()
+    // df-cap de-skewed (VERDICT r05 what's-wrong #1): the old
+    // count().over(Window.partitionBy("fp")) shuffled EVERY occurrence
+    // of one winnow fingerprint into ONE WindowExec task to compute the
+    // very document frequency that drops it — a mega-frequent
+    // boilerplate fp (the row the cap exists to REMOVE) is exactly the
+    // key that funnels, and WindowExec partitions cannot be skew-split.
+    // Now: a map-side-combinable groupBy(fp).count keeps only the
+    // OVER-cap fingerprints (tiny by construction — the hot keys), and
+    // the cap is a broadcast LEFT ANTI join against that set, so no
+    // occurrence-level row ever shuffles on fp (df <= maxDf  ⇔  fp not
+    // in the df > maxDf set — identical result). The cached fps table
+    // feeds both the count and the anti-join probe; kept stays the
+    // persist boundary for the self-join sides and size aggregate.
+    val overCap = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("fp")
+    val kept = fps.join(broadcast(overCap), Seq("fp"), "left_anti")
       .persist()
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val shared = kept.select(col("fp"), col("doc_id").as("id_a"))
@@ -1763,7 +1841,7 @@ object TrainingOps {
       .filter(col("containment_bp") >= minBp)
       .select("id_a", "id_b", "shared", "n_a", "n_b", "containment_bp")
       .orderBy("id_a", "id_b")
-    (out, kept)
+    (out, Seq(fps, kept))
   }
 
   /** Corpus-unigram negative log-likelihood per document — the
@@ -1948,10 +2026,12 @@ object TrainingOps {
       .orderBy("doc_id", "span_start")
   }
 
-  /** x48 stage 1: the (doc_id, w_start, gram-hash) window table. */
+  /** x48 stage 1: the (doc_id, w_start, gram-hash) window table.
+    * Spread before the per-position 13-gram md5 stage — the single-split
+    * lesson (see [[spreadInput]]; measured 4.3 s single-task at sf0.1). */
   private def windowTable(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(normText(col("text")), " ")
-    docs
+    spreadInput(docs)
       .filter(size(split(normText(col("text")), " ")) >= n)
       .select(col("doc_id"),
         posexplode(transform(
@@ -1988,7 +2068,7 @@ object TrainingOps {
     * the rank window partitions by component — near-dup clusters are
     * small by construction, so no skewed window partition. */
   def canonicalDocs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val pairs = jaccardNearDupPairs(docs, threshold).select("id_a", "id_b")
+    val pairs = jaccardPairsForCompose(docs, threshold)
     val (labels, labelIds, _) = connectedComponentsStarMembersWithRounds(pairs)
     try {
       val q = qualityScoreCore(docs).select("doc_id", "n_chars", "alpha_ratio")
@@ -2423,8 +2503,10 @@ object TrainingOps {
     // default) — an empty payload has no edit-distance neighborhood.
     val nonEmpty = docs.filter(length(nrm) > 0)
     // exact-dup pre-collapse, the x13 convention: identical norms need
-    // no DP (lev = 0, sim = 1 by definition) and band only once
-    val (mem, reps) = exactGroups(nonEmpty)
+    // no DP (lev = 0, sim = 1 by definition) and band only once; reps
+    // persisted — referenced by the rep filter and both expand joins
+    val (mem, reps0) = exactGroups(nonEmpty)
+    val reps = reps0.persist()
     val spread = nonEmpty.join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val sh = transform(
@@ -2462,7 +2544,7 @@ object TrainingOps {
       .unionByName(withinGroupPairs(mem,
         Seq(lit(0L).as("lev"), lit(1.0).as("sim"))))
       .orderBy("id_a", "id_b")
-    (verified, Seq(base, mem))
+    (verified, Seq(base, mem, reps))
   }
 
   /** Sharded inverted-index build — the retrieval-side artifact a
@@ -2628,8 +2710,12 @@ object TrainingOps {
     // join runs rep×rep; a matched ref GROUP contributes its full size to
     // n_matches (identical ref docs are each a match), and corpus-rep
     // stats fan back out to every member by the membership join below
-    val (cmem, creps) = exactGroups(corpus)
-    val (rmem, rreps) = exactGroups(ref)
+    val (cmem, creps0) = exactGroups(corpus)
+    val (rmem, rreps0) = exactGroups(ref)
+    // each rep table is referenced twice (rep filter + stat attach):
+    // persist so the membership re-aggregation runs once per side
+    val creps = creps0.persist()
+    val rreps = rreps0.persist()
     val cb = shingleBase(
       corpus.join(creps.select(col("rep_id").as("doc_id")), Seq("doc_id")), k)
     val rb = shingleBase(
@@ -2670,7 +2756,7 @@ object TrainingOps {
         col("best_match"), col("best_jaccard"),
         when(col("n_matches").isNull, 1L).otherwise(0L).as("keep"))
       .orderBy("doc_id")
-    (out, Seq(cb, rb, cmem, rmem))
+    (out, Seq(cb, rb, cmem, rmem, creps, rreps))
   }
 
   /** Top-V vocabulary truncation + per-doc out-of-vocabulary rate — the
@@ -2998,26 +3084,35 @@ object TrainingOps {
                checkpointEvery: Int = 3): DataFrame = {
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().persist()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
-    val nn = nodes.agg(count(lit(1)).as("n"))
+    // Loop-invariant work hoisted OUT of the iterations (guide §2.4:
+    // remove repeated shuffles): the out-degree is attached to the edge
+    // list ONCE (the old plan re-joined deg every iteration — 10 extra
+    // join shuffles), and the node count is collected ONCE as a literal
+    // (the old plan re-ran a 1-row count aggregate + broadcast cross
+    // join every iteration). At cluster scale edgesW is the written
+    // (src, dst, outdeg) edge table every PageRank run starts from.
+    val edgesW = edges.join(edges.groupBy("src")
+      .agg(count(lit(1)).as("outdeg")), "src").persist()
+    val n = math.max(nodes.count(), 1L)
+    // same integer fixed-point arithmetic as before: both div chains
+    // truncate toward zero on positive operands in Spark SQL and JVM
+    // long division alike, so every iterate is bit-identical
+    val teleport = (15L * scale / 100L) / n
+    val r0Val = scale / n
     try {
       var (r, rIds) = {
-        val r0 = nodes.crossJoin(broadcast(nn))
-          .select(col("id"), expr(s"${scale}L div n").as("r"))
+        val r0 = nodes.select(col("id"), lit(r0Val).as("r"))
         val before = nodes.sparkSession.sparkContext.getPersistentRDDs.keySet.toSet
         val out = r0.localCheckpoint(true)
         (out, nodes.sparkSession.sparkContext.getPersistentRDDs.keySet.toSet -- before)
       }
       for (i <- 1 to iterations) {
-        val contrib = r.join(edges, r("id") === edges("src"))
-          .join(deg, "src")
+        val contrib = r.join(edgesW, r("id") === edgesW("src"))
           .select(col("dst").as("id"), expr("r div outdeg").as("c"))
           .groupBy("id").agg(sum("c").as("s"))
-        val next = nodes.crossJoin(broadcast(nn))
-          .join(contrib, Seq("id"), "left")
+        val next = nodes.join(contrib, Seq("id"), "left")
           .select(col("id"),
-            (expr(s"(15 * ${scale}L div 100) div n")
-              + expr("85 * coalesce(s, 0L) div 100")).as("r"))
+            (lit(teleport) + expr("85 * coalesce(s, 0L) div 100")).as("r"))
         if (i % checkpointEvery == 0 || i == iterations) {
           val sc = nodes.sparkSession.sparkContext
           val before = sc.getPersistentRDDs.keySet.toSet
@@ -3028,7 +3123,7 @@ object TrainingOps {
         } else r = next
       }
       r.orderBy("id")
-    } finally { nodes.unpersist(); deg.unpersist() }
+    } finally { nodes.unpersist(); edgesW.unpersist() }
   }
 
   /** Zipf's-law fit over the top-V vocabulary — the corpus-health
@@ -3558,7 +3653,7 @@ object TrainingOps {
     * plus a map-only hash — no windows, no new shuffles. */
   def leakageSplit(docs: DataFrame, threshold: Double = 0.8,
                    valFolds: Long = 10L): DataFrame = {
-    val pairs = jaccardNearDupPairs(docs, threshold).select("id_a", "id_b")
+    val pairs = jaccardPairsForCompose(docs, threshold)
     val (labels, labelIds, _) = connectedComponentsStarMembersWithRounds(pairs)
     try {
       docs.select(col("doc_id"))
@@ -3855,7 +3950,7 @@ object TrainingOps {
                   n: Int = 13): DataFrame = {
     val refGrams = benchmarkGrams(reference, n)
       .select(col("g"), lit(1L).as("seen"))
-    docs.select(col("doc_id"),
+    spreadInput(docs).select(col("doc_id"),
         explode(array_distinct(wordGramHashes(col("text"), n))).as("g"))
       .join(broadcast(refGrams), Seq("g"), "left")
       .groupBy("doc_id").agg(
@@ -3967,7 +4062,7 @@ object TrainingOps {
     * one primary-key left join plus one map-side-combinable aggregate
     * over the source key. */
   def dedupImpact(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val pairs = jaccardNearDupPairs(docs, threshold).select("id_a", "id_b")
+    val pairs = jaccardPairsForCompose(docs, threshold)
     val (labels, labelIds, _) = connectedComponentsStarMembersWithRounds(pairs)
     try {
       docs.select(col("doc_id"), col("source"))
@@ -4174,7 +4269,7 @@ object TrainingOps {
           col("keep_exact") * col("keep_near") * col("pass_gopher"))
         .orderBy("doc_id")
         .localCheckpoint(true) // materialized before the caches release
-    } finally { mem.unpersist(); releaseRdds(labels, labelIds) }
+    } finally { mem.unpersist(); reps.unpersist(); releaseRdds(labels, labelIds) }
   }
 
   /** Vocabulary coverage by minimum term frequency — the curve a
