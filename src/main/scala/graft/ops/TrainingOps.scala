@@ -4461,19 +4461,50 @@ object TrainingOps {
     * occupancy (the quantity x72 measures) times the rep pre-collapse —
     * duplicate ref texts contribute ONE set. Caller unpersists all
     * three. */
-  private[graft] def ingestRefTables(ref: DataFrame, k: Int = 9)
-      : (DataFrame, DataFrame, DataFrame) = {
+  /** Bucket-occupancy cap for the BATCH ingest gate (VERDICT r05
+    * what's-wrong #2): a (band, key) bucket holding more than this many
+    * distinct ref reps leaves the per-row array path entirely and
+    * routes through the rep-level pair join instead (x64's shape) —
+    * near-identical boilerplate (timestamp/session-id variants)
+    * survives the exact-dup pre-collapse as distinct reps sharing a
+    * band key, so at crawl scale one uncapped collect_list row holds
+    * millions of shingle sets (build-time OOM) and every incoming doc
+    * joining that key scans them all. */
+  val IngestBucketCap = 16
+
+  private[graft] def ingestRefTables(ref: DataFrame, k: Int = 9,
+      capN: Int = Int.MaxValue)
+      : (DataFrame, DataFrame, DataFrame, Option[DataFrame]) = {
     val refFp = ref.select(md5(normText(col("text"))).as("ek"))
       .distinct().persist()
     val repIds = ref
       .select(col("doc_id"), md5(normText(col("text"))).as("ek"))
       .groupBy("ek").agg(min("doc_id").as("doc_id"))
     val base = shingleBase(ref.join(repIds, Seq("doc_id")), k)
-    val buckets = bandKeys(base)
+    val members = bandKeys(base)
       .join(base.select(col("doc_id"), col("sh")), Seq("doc_id"))
+    def fullBuckets() = members
       .groupBy("band", "key").agg(collect_list(col("sh")).as("shs"))
       .persist()
-    (refFp, base, buckets)
+    if (capN == Int.MaxValue) (refFp, base, fullBuckets(), None)
+    else {
+      // occupancy is one map-side-combinable count (the x72 measurement);
+      // the over-cap key set is tiny by construction (only hot keys) and
+      // rides as a broadcast to split members WITHOUT any window/rank —
+      // a rank-per-key pick would itself funnel the hot key (rn > N has
+      // no WindowGroupLimit pushdown)
+      val hot = members.groupBy("band", "key").agg(count(lit(1)).as("n"))
+        .filter(col("n") > capN).select("band", "key")
+      if (hot.count() == 0L) (refFp, base, fullBuckets(), None)
+      else {
+        val buckets = members.join(broadcast(hot), Seq("band", "key"), "left_anti")
+          .groupBy("band", "key").agg(collect_list(col("sh")).as("shs"))
+          .persist()
+        val hotMembers = members
+          .join(broadcast(hot), Seq("band", "key"), "left_semi").persist()
+        (refFp, base, buckets, Some(hotMembers))
+      }
+    }
   }
 
   /** The per-document ingest verdict — STATELESS by construction so the
@@ -4487,16 +4518,19 @@ object TrainingOps {
     * x13/x64 family verifies with. Every arriving doc emits exactly one
     * decided row — no update-mode aggregation, no watermark, no state
     * store. */
-  private[graft] def ingestCurateCore(docs: DataFrame, refFp: DataFrame,
-      buckets: DataFrame, threshold: Double, k: Int = 9): DataFrame = {
-    // Generate (explode-of-one) barriers: x13 materializes the shingle
-    // and md5-hash arrays behind a persist, which a streaming plan
-    // cannot do — but CollapseProject cannot inline through a Generate
-    // either, so each barrier pins its arrays computed ONCE per row.
-    // Without them the 8 minhash columns each re-derive the 9-gram +
-    // per-shingle-md5 chain (~9 full rehashes per row — the disease
-    // that made x13 209 s; measured 45.7 s for this operator at sf0.1,
-    // 8.5× the x64 band family).
+  /** The per-row (doc_id, text, ek, sh, k0, k1) enrichment of the
+    * ingest gate — shared by the stateless core and the batch
+    * overflow-join path, so the md5 chain has ONE source.
+    *
+    * Generate (explode-of-one) barriers: x13 materializes the shingle
+    * and md5-hash arrays behind a persist, which a streaming plan
+    * cannot do — but CollapseProject cannot inline through a Generate
+    * either, so each barrier pins its arrays computed ONCE per row.
+    * Without them the 8 minhash columns each re-derive the 9-gram +
+    * per-shingle-md5 chain (~9 full rehashes per row — the disease
+    * that made x13 209 s; measured 45.7 s for this operator at sf0.1,
+    * 8.5× the x64 band family). */
+  private[graft] def ingestKeyed(docs: DataFrame, k: Int = 9): DataFrame = {
     val enriched = docs.select(col("doc_id"), col("text"),
         explode(array(struct(
           md5(normText(col("text"))).as("ek"),
@@ -4506,8 +4540,17 @@ object TrainingOps {
     val hashed = enriched.select(col("doc_id"), col("text"), col("ek"),
         col("sh"), explode(array(shingleHashCol(col("sh")))).as("hl"))
     val (bk0, bk1) = bandKeyPair(col("hl"))
-    val keyed = hashed.select(col("doc_id"), col("text"), col("ek"),
+    hashed.select(col("doc_id"), col("text"), col("ek"),
       col("sh"), bk0.as("k0"), bk1.as("k1"))
+  }
+
+  private[graft] def ingestCurateCore(docs: DataFrame, refFp: DataFrame,
+      buckets: DataFrame, threshold: Double, k: Int = 9): DataFrame =
+    ingestVerdictCols(ingestKeyed(docs, k), refFp, buckets, threshold)
+
+  /** The verdict joins over a pre-keyed frame ([[ingestKeyed]]). */
+  private def ingestVerdictCols(keyed: DataFrame, refFp: DataFrame,
+      buckets: DataFrame, threshold: Double): DataFrame = {
     val b0 = buckets.filter(col("band") === 0)
       .select(col("key").as("k0"), col("shs").as("shs0"))
     val b1 = buckets.filter(col("band") === 1)
@@ -4552,9 +4595,50 @@ object TrainingOps {
     val corpus = docs.filter(pmod(col("doc_id"), lit(13L)) =!= 0)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val ref = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
-    val (refFp, base, buckets) = ingestRefTables(ref)
-    try ingestCurateCore(corpus, refFp, buckets, threshold)
-      .orderBy("doc_id").localCheckpoint(true)
-    finally { refFp.unpersist(); base.unpersist(); buckets.unpersist() }
+    // BATCH gate runs CAPPED ref buckets (IngestBucketCap): keys whose
+    // occupancy exceeds the cap leave the array path and their members
+    // are verified through a plain pair join below — same verdicts
+    // (per band key: near-dup ⇔ ∃ ref rep with jaccard ≥ t, split by
+    // key class and OR-ed back), but no unbounded collect_list row is
+    // ever built and the hot-key join is AQE-skew-splittable. When no
+    // key exceeds the cap (the common case after the rep pre-collapse)
+    // the plan is the pure array path, unchanged.
+    val (refFp, base, buckets, hotOpt) =
+      ingestRefTables(ref, 9, IngestBucketCap)
+    try {
+      hotOpt match {
+        case None =>
+          ingestCurateCore(corpus, refFp, buckets, threshold)
+            .orderBy("doc_id").localCheckpoint(true)
+        case Some(hotMembers) =>
+          // keyed is consumed by the verdict joins AND the hot-key pair
+          // join — persist so the per-row md5 chain runs once
+          val keyed = ingestKeyed(corpus).persist()
+          try {
+            val core = ingestVerdictCols(keyed, refFp, buckets, threshold)
+            def jaccHit = round(
+              size(array_intersect(col("sh"), col("rsh"))).cast(DoubleType)
+                / size(array_union(col("sh"), col("rsh"))), 4) >= threshold
+            val h0 = hotMembers.filter(col("band") === 0)
+              .select(col("key").as("k0"), col("sh").as("rsh"))
+            val h1 = hotMembers.filter(col("band") === 1)
+              .select(col("key").as("k1"), col("sh").as("rsh"))
+            val hotHits = keyed.select(col("doc_id"), col("sh"), col("k0"))
+              .join(h0, Seq("k0")).filter(jaccHit).select("doc_id")
+              .unionByName(keyed.select(col("doc_id"), col("sh"), col("k1"))
+                .join(h1, Seq("k1")).filter(jaccHit).select("doc_id"))
+              .distinct().withColumn("hot_hit", lit(1L))
+            core.join(hotHits, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("exact_dup"),
+                greatest(col("near_dup"),
+                  coalesce(col("hot_hit"), lit(0L))).as("near_dup"),
+                col("pass_gopher"))
+              .withColumn("keep",
+                (lit(1L) - col("exact_dup"))
+                  * (lit(1L) - col("near_dup")) * col("pass_gopher"))
+              .orderBy("doc_id").localCheckpoint(true)
+          } finally { keyed.unpersist(); hotMembers.unpersist() }
+      }
+    } finally { refFp.unpersist(); base.unpersist(); buckets.unpersist() }
   }
 }

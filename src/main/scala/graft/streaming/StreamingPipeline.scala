@@ -113,7 +113,11 @@ object StreamingPipeline {
     * to batch across any micro-batch split (spec-pinned). */
   def streamIngestCurate(docs: DataFrame, ref: DataFrame,
                          threshold: Double = 0.8): DataFrame = {
-    val (refFp, base, buckets) = graft.ops.TrainingOps.ingestRefTables(ref)
+    // uncapped ref tables (capN default): the per-row exists path must
+    // see every bucket member — the batch gate's hot-key pair-join
+    // fallback needs a per-doc aggregation, which an append-mode stream
+    // cannot run; bucket growth is bounded by the ref-refresh cadence
+    val (refFp, base, buckets, _) = graft.ops.TrainingOps.ingestRefTables(ref)
     // materialize both static caches eagerly, then release the shingle
     // table — it only feeds the bucket build and would otherwise stay
     // persisted for the life of the query

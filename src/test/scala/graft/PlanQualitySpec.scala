@@ -757,7 +757,7 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val corpus = docs.filter(pmod(col("doc_id"), lit(13L)) =!= 0)
     val ref = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
-    val (refFp, base, buckets) = graft.ops.TrainingOps.ingestRefTables(ref)
+    val (refFp, base, buckets, _) = graft.ops.TrainingOps.ingestRefTables(ref)
     try {
       val p = graft.ops.TrainingOps
         .ingestCurateCore(corpus, refFp, buckets, 0.8)

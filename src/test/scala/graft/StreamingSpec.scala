@@ -466,7 +466,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
     val streamed = rowSet(spark.sql("SELECT * FROM ingest_out").collect())
-    val (refFp, base, buckets) = graft.ops.TrainingOps.ingestRefTables(ref)
+    val (refFp, base, buckets, _) = graft.ops.TrainingOps.ingestRefTables(ref)
     val batch = try rowSet(graft.ops.TrainingOps.ingestCurateCore(
       (live1 ++ live2).toDF("doc_id", "text"), refFp, buckets, 0.8).collect())
     finally { refFp.unpersist(); base.unpersist(); buckets.unpersist() }
