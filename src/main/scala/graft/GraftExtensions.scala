@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.nfcDescriptor)
     ext.injectFunction(GraftFunctions.embedLshDescriptor)
     ext.injectFunction(GraftFunctions.mightContainLongDescriptor)
+    ext.injectFunction(GraftFunctions.dotSeqDescriptor)
   }
 }
 
@@ -49,6 +50,11 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         children(0), children(1)))
 
+  val dotSeqDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_seq"),
+    new ExpressionInfo(classOf[graft.expr.DotSeq].getName, "dot_seq"),
+    (children: Seq[Expression]) => graft.expr.DotSeq(children(0), children(1)))
+
   def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.graftshim.GraftRegistry.register(
       spark, "simhash60", simhash60Descriptor._3)
@@ -58,5 +64,7 @@ object GraftFunctions {
       spark, "embed_lsh_sig48", embedLshDescriptor._3)
     org.apache.spark.sql.graftshim.GraftRegistry.register(
       spark, "might_contain_long", mightContainLongDescriptor._3)
+    org.apache.spark.sql.graftshim.GraftRegistry.register(
+      spark, "dot_seq", dotSeqDescriptor._3)
   }
 }

@@ -632,8 +632,12 @@ object TrainingOps {
   /** Cosine similarity between two array<double> columns — elementwise
     * sequential accumulation (deterministic order). */
   def cosine(a: Column, b: Column): Column = {
+    // native codegen'd sequential fold (graft.expr.DotSeq) — replaces
+    // the interpreted aggregate/zip_with lambda tree that dominated the
+    // per-candidate-pair cost of every cosine verify (guide §4.1: HOFs
+    // do not whole-stage-codegen). Bit-identical accumulation order.
     def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (s, v) => s + v)
+      org.apache.spark.sql.graftshim.GraftColumns.dotSeq(x, y)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
@@ -866,11 +870,14 @@ object TrainingOps {
     * [[gridCandidateCount]], logged by graft.Verify per run. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
                          gridDims: Int = 3): DataFrame = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (s, v) => s + v)
+    // native dot (DotSeq) straight on the float arrays: the per-element
+    // widening cast is Spark's own, so the double chain — and the
+    // rounded sim — is bit-identical to the old asDouble+lambda path,
+    // without an interpreted transform+fold per candidate pair
     gridCandidatePairs(embeddings, threshold, gridDims)
       .select(col("id_a"), col("id_b"),
-        round(dot(asDouble(col("emb_a")), asDouble(col("emb_b")))
+        round(org.apache.spark.sql.graftshim.GraftColumns
+            .dotSeq(col("emb_a"), col("emb_b"))
           / (col("nrm_a") * col("nrm_b")), 3).as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy("id_a", "id_b")
@@ -889,7 +896,10 @@ object TrainingOps {
     val tEff = math.max(-1.0, threshold - 0.00051)
     val eps = math.sqrt(2.0 - 2.0 * tEff)
     val emb = asDouble(col("embedding"))
-    val norm = sqrt(aggregate(emb, lit(0.0), (s, v) => s + v * v))
+    // self-dot through the native DotSeq — same left-to-right fold of
+    // x·x as the old aggregate lambda, bit-identical under sqrt
+    val norm = sqrt(org.apache.spark.sql.graftshim.GraftColumns
+      .dotSeq(col("embedding"), col("embedding")))
     val cellCols = (1 to gridDims).map { i =>
       floor(element_at(emb, i) / when(norm === 0, lit(1.0)).otherwise(norm) / eps).cast("long")
     }
@@ -900,7 +910,7 @@ object TrainingOps {
     // embeddings scan otherwise runs the per-row norm/cell lambdas in
     // ONE task on both join branches (see spreadInput).
     val base = spreadInput(embeddings).select(col("vec_id"), col("embedding"),
-      sqrt(aggregate(emb, lit(0.0), (s, v) => s + v * v)).as("nrm"),
+      norm.as("nrm"),
       array(cellCols: _*).as("cell"))
     // the lex-non-negative half of the 3^gridDims neighbor offsets
     // (first non-zero component is +1), zero offset included and flagged
@@ -2197,8 +2207,10 @@ object TrainingOps {
       s"clusterBits=$clusterBits out of range")
     graft.GraftFunctions.register(embeddings.sparkSession)
     val mask = (1L << clusterBits) - 1
+    // native codegen'd dot (DotSeq) — same sequential fold, no
+    // interpreted lambda per within-cluster candidate pair
     def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (s, v) => s + v)
+      org.apache.spark.sql.graftshim.GraftColumns.dotSeq(x, y)
     // norm computed ONCE per row in the cached projection (the
     // gridCandidatePairs convention): the O(k^2) pair stage then pays a
     // single dot product, not dot + 2 norms; sqrt(dot(x,x)) is the same

@@ -24,3 +24,16 @@ object GraftRegistry {
       registry.createOrReplaceTempFunction(name, builder, "built-in")
   }
 }
+
+/** Direct Column construction for the engine's native expressions, so
+  * pure Column-builder helpers (no SparkSession in scope) can use them
+  * without a registry round-trip. */
+object GraftColumns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  /** Sequential dot product ([[graft.expr.DotSeq]]) as a Column. */
+  def dotSeq(a: Column, b: Column): Column =
+    ExpressionUtils.column(graft.expr.DotSeq(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
