@@ -55,6 +55,15 @@ object BenchExtra {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // VERDICT r05 next #6 (load gate): Bench.scala is frozen, so the
+    // r6 harness self-labels instead — loadavg at launch goes into the
+    // record, and readings taken above ~2.0 1-min load should be
+    // treated as contaminated.
+    val loadavg = try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+    println(s"loadavg at launch: $loadavg")
+
     val results = names.map { name =>
       spark.sparkContext.setJobDescription(s"benchx:$name")
       val warm = time(run(name))
@@ -72,7 +81,7 @@ object BenchExtra {
     val total = results.map(_._2).sum
     def f(d: Double) = f"$d%.4f".toDouble
     val qs = results.map { case (k, v, j, s) => s""""$k":{"sec":${f(v)},"jobs":$j,"stages":$s}""" }.mkString("{", ",", "}")
-    println(s"""{"bench_extra":true,"sf":"$sfDir","cores":$cores,"noop":$useNoop,"total_sec":${f(total)},"queries":$qs}""")
+    println(s"""{"bench_extra":true,"sf":"$sfDir","cores":$cores,"noop":$useNoop,"loadavg":"$loadavg","total_sec":${f(total)},"queries":$qs}""")
     spark.stop()
   }
 }

@@ -34,6 +34,7 @@ object DumpPlansR06 {
     graft.LogQuiet.muteCheckpointReleaseWarns()
     val outDir = Paths.get("plans/r06")
     Files.createDirectories(outDir)
+    import org.apache.spark.sql.functions._
     import graft.ops.TrainingOps
     def docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // Eagerly-checkpointed results show only a checkpoint scan; for those
@@ -42,6 +43,24 @@ object DumpPlansR06 {
       case "x13_jaccard_pairs" =>
         val (df, caches) = TrainingOps.jaccardNearDupPairsPlan(docs)
         Some(("verified near-dup pairs pipeline", df, () => caches.foreach(_.unpersist())))
+      case "x41_winnow_containment" =>
+        val (df, caches) = TrainingOps.winnowContainmentPairsPlan(docs)
+        Some(("containment pairs pipeline", df, () => caches.foreach(_.unpersist())))
+      case "x48_repeated_spans" =>
+        Some(("stage-1/2 duplicate-window selection (lazy)",
+          TrainingOps.repeatedDupWindows(docs, 13), () => ()))
+      case "x39_decontaminate_bloom" =>
+        val (df, bGrams) = TrainingOps.decontaminateBloomPlan(docs,
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+        Some(("bloom-prefiltered decontamination pipeline", df, () => bGrams.unpersist()))
+      case "x59_edit_neardup" =>
+        val (df, caches) = TrainingOps.editNearDupPairsPlan(docs)
+        Some(("edit near-dup pipeline", df, () => caches.foreach(_.unpersist())))
+      case "x64_cross_neardup" =>
+        val (df, caches) = TrainingOps.crossNearDupPlan(
+          docs.filter(pmod(col("doc_id"), lit(13L)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(13L)) === 0))
+        Some(("cross-corpus near-dup pipeline", df, () => caches.foreach(_.unpersist())))
       case _ => None
     }
     for (n <- names) {
