@@ -4161,10 +4161,17 @@ object TrainingOps {
   private def gopherCounts(text: Column): Column = {
     val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
     val lines = filter(split(text, "\n"), l => l =!= "")
+    // integer DIV on the ellipsis term itself (ADVICE r05): the removed
+    // char count is always a multiple of 3 today, so double '/' + the
+    // later long cast happened to be exact — structural integer
+    // division matches the oracle's '// 3' and stays exact under any
+    // future symbol-list change
     val nSym = (length(text)
-      - length(call_function("replace", text, lit("#"), lit("")))) +
-      (length(text)
-        - length(call_function("replace", text, lit("..."), lit("")))) / 3
+      - length(call_function("replace", text, lit("#"), lit("")))).cast(LongType) +
+      call_function("div",
+        (length(text)
+          - length(call_function("replace", text, lit("..."), lit("")))).cast(LongType),
+        lit(3L))
     struct(
       size(toks).cast(LongType).as("n_words"),
       aggregate(transform(toks, t => length(t).cast(LongType)),

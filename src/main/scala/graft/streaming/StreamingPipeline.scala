@@ -112,7 +112,16 @@ object StreamingPipeline {
     * row per doc, no state store, so the verdict stream is identical
     * to batch across any micro-batch split (spec-pinned). */
   def streamIngestCurate(docs: DataFrame, ref: DataFrame,
-                         threshold: Double = 0.8): DataFrame = {
+                         threshold: Double = 0.8): DataFrame =
+    streamIngestCurateWithCaches(docs, ref, threshold)._1
+
+  /** Same, returning the persisted static ref frames so a long-lived
+    * session can release them after `q.stop()` (ADVICE r05: the
+    * no-handle variant leaks one fingerprint + one bucket cache per
+    * started stream until eviction pressure — the jaccardNearDupPairs
+    * leak class). The (plan, caches) convention. */
+  def streamIngestCurateWithCaches(docs: DataFrame, ref: DataFrame,
+      threshold: Double = 0.8): (DataFrame, Seq[DataFrame]) = {
     // uncapped ref tables (capN default): the per-row exists path must
     // see every bucket member — the batch gate's hot-key pair-join
     // fallback needs a per-doc aggregation, which an append-mode stream
@@ -123,7 +132,8 @@ object StreamingPipeline {
     // persisted for the life of the query
     buckets.count(); refFp.count()
     base.unpersist()
-    graft.ops.TrainingOps.ingestCurateCore(docs, refFp, buckets, threshold)
+    (graft.ops.TrainingOps.ingestCurateCore(docs, refFp, buckets, threshold),
+      Seq(refFp, buckets))
   }
 
   def streamCalibratedScores(docs: DataFrame,

@@ -46,8 +46,10 @@ object SoakStreamIngest {
     // a MemoryStream batch is ONE partition; a production source
     // (Kafka) arrives partitioned — repartition the stream here so the
     // soak measures the operator, not the test source's layout
-    val q = graft.streaming.StreamingPipeline.streamIngestCurate(
+    val (plan, refCaches) =
+      graft.streaming.StreamingPipeline.streamIngestCurateWithCaches(
         input.toDF().toDF("doc_id", "text").repartition(cores), ref)
+    val q = plan
       .writeStream.format("memory").queryName("soak_ingest")
       .outputMode(OutputMode.Append).start()
     val setupMs = (System.nanoTime() - t0) / 1e6
@@ -70,6 +72,7 @@ object SoakStreamIngest {
     val wall = (System.nanoTime() - t0) / 1e9
     val outRows = spark.sql("SELECT count(*) FROM soak_ingest").head().getLong(0)
     q.stop()
+    refCaches.foreach(_.unpersist()) // the (plan, caches) release contract
     val sorted = lat.sorted
     def pct(p: Double) = sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
     def f(d: Double) = f"$d%.1f".toDouble

@@ -759,10 +759,27 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val ref = docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
     val (refFp, base, buckets, _) = graft.ops.TrainingOps.ingestRefTables(ref)
     try {
-      val p = graft.ops.TrainingOps
+      val pFull = graft.ops.TrainingOps
         .ingestCurateCore(corpus, refFp, buckets, 0.8)
         .queryExecution.optimizedPlan.toString
-    assert(p.linesIterator.count(_.contains("Generate explode")) >= 2,
+      // Scope the count to the STREAMING CORE's own operators (ADVICE
+      // r05): toString prints the persisted ref tables' cached subtrees
+      // under each InMemoryRelation, and those legitimately contain the
+      // build-time md5 chain — counting them would couple this spec to
+      // the ref-side plan shape. Prune every line indented below an
+      // InMemoryRelation before counting.
+      val p = {
+        val out = scala.collection.mutable.Buffer[String]()
+        var skipIndent = -1
+        for (l <- pFull.linesIterator) {
+          val indent = math.max(l.indexWhere(c => !" +-:".contains(c)), 0)
+          if (skipIndent >= 0 && indent > skipIndent) ()
+          else if (l.contains("InMemoryRelation")) { skipIndent = indent; out += l }
+          else { skipIndent = -1; out += l }
+        }
+        out.mkString("\n")
+      }
+      assert(p.linesIterator.count(_.contains("Generate explode")) >= 2,
         s"the shingle and hash barriers must survive optimization:\n${p.take(4000)}")
       val shingleHashes = "conv\\(substring\\(md5".r.findAllIn(p).length
       assert(shingleHashes <= 5,
