@@ -512,39 +512,65 @@ object TrainingOps {
     * checkpoint block ids so the caller can release them (canonicalDocs
     * consumes the labels directly; the aggregate surfaces above derive
     * their component table from the same labels). */
+  // Both star steps need their edge set twice under the SAME key —
+  // once aggregated to the per-u minimum, once re-joined against it.
+  // An explicit repartition(u) up front makes the aggregate AND both
+  // join sides reuse ONE exchange (guide §2.4: operations keyed the
+  // same way share the partitioning) instead of exchanging the edge
+  // set separately for the groupBy and again for the join's probe
+  // side — one full-edge-set shuffle per star step per round, gone.
+  // Object-level (not local defs) so the plan record can dump one
+  // round's physical tree ([[starRoundPlan]]).
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+    val m = nbrs.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+    nbrs.join(m, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+    // dedup deferred: smallStar's terminal distinct collapses any
+    // duplicate edges this step emits (min over u is unaffected by
+    // multiplicity), saving one full-edge-set exchange per round
+  }
+  private def smallStar(e: DataFrame): DataFrame = {
+    val toMin = e.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .repartition(col("u"))
+    val m = toMin.groupBy("u").agg(min("v").as("m"))
+    val reattached = toMin.join(m, Seq("u"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val selfEdge = m.select(col("u"), col("m").as("v"))
+    reattached.union(selfEdge).filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** One large-star + small-star contraction round over a (u, v) edge
+    * frame, as a LAZY plan — the per-round tree the components loop
+    * materializes. The caller passes the edge frame AT the loop's real
+    * materialization boundary (a checkpointed scan), so the dumped
+    * exchange count is the loop's, not an inlined-subtree artifact;
+    * exists so plans/r06 can pin the one-exchange-per-star-step shape. */
+  private[graft] def starRoundPlan(edges: DataFrame): DataFrame =
+    smallStar(largeStar(edges))
+
+  /** One min-label-propagation round (neighbor-min aggregate + label
+    * update join) as a LAZY plan over the loop's real inputs — the
+    * PERSISTED pre-partitioned edge list and a checkpointed label
+    * frame; x14's per-round tree, for the same plans/r06 record. */
+  private[graft] def labelPropRoundPlan(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val neighborMin = edges
+      .join(labels.select(col("id").as("id_b"), col("comp").as("ncomp")), Seq("id_b"))
+      .groupBy(col("id_a").as("id"))
+      .agg(min("ncomp").as("nmin"))
+    labels.join(neighborMin, Seq("id"), "left")
+      .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+        (col("nmin") < col("comp")).as("chg"))
+  }
+
   private[graft] def connectedComponentsStarMembersWithRounds(
       pairs: DataFrame): (DataFrame, Set[Int], Int) = {
-    // Both star steps need their edge set twice under the SAME key —
-    // once aggregated to the per-u minimum, once re-joined against it.
-    // An explicit repartition(u) up front makes the aggregate AND both
-    // join sides reuse ONE exchange (guide §2.4: operations keyed the
-    // same way share the partitioning) instead of exchanging the edge
-    // set separately for the groupBy and again for the join's probe
-    // side — one full-edge-set shuffle per star step per round, gone.
-    def largeStar(e: DataFrame): DataFrame = {
-      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .repartition(col("u"))
-      val m = nbrs.groupBy("u").agg(least(min("v"), first("u")).as("m"))
-      nbrs.join(m, Seq("u"))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-      // dedup deferred: smallStar's terminal distinct collapses any
-      // duplicate edges this step emits (min over u is unaffected by
-      // multiplicity), saving one full-edge-set exchange per round
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      val toMin = e.select(
-        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        .filter(col("u") =!= col("v"))
-        .repartition(col("u"))
-      val m = toMin.groupBy("u").agg(min("v").as("m"))
-      val reattached = toMin.join(m, Seq("u"))
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-      val selfEdge = m.select(col("u"), col("m").as("v"))
-      reattached.union(selfEdge).filter(col("u") =!= col("v")).distinct()
-    }
     // Order-independent STRONG digest of the edge set: count + bit_xor
     // of xxhash64(u, v). The previous linear sum(u*31+v) was
     // collision-prone under count-preserving churn (edge sets

@@ -746,6 +746,40 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"global top-k must not materialize a full sort:\n$p")
   }
 
+  test("x14 round: the persisted edge list is not re-exchanged per label-prop round") {
+    // Round-6: labelPropagationComponents persists its edge list
+    // PRE-PARTITIONED on the probe key (id_b), so every round's
+    // neighbor join reads the cache layout instead of re-shuffling the
+    // edge-scale frame per round (the one-time build exchange lives
+    // inside the InMemoryRelation). Checked under the shuffle-join
+    // regime — at bench scale the join would broadcast and hide the
+    // shape this spec pins.
+    import org.apache.spark.sql.functions._
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val pairs = spark.range(0, 64).selectExpr("id AS id_a", "id + 1 AS id_b")
+    val edges = pairs.union(pairs.selectExpr("id_b AS id_a", "id_a AS id_b"))
+      .repartition(col("id_b")).persist()
+    try {
+      edges.count()
+      val labels = edges.selectExpr("id_a AS id").distinct()
+        .withColumn("comp", col("id")).localCheckpoint(true)
+      val p = graft.ops.TrainingOps.labelPropRoundPlan(edges, labels)
+        .queryExecution.executedPlan.toString
+      val lines = p.linesIterator.toSeq
+      val reExchanged = lines.zipWithIndex.exists { case (l, i) =>
+        l.contains("Exchange") && i + 1 < lines.length &&
+          lines(i + 1).contains("InMemoryTableScan")
+      }
+      assert(!reExchanged,
+        s"cached edge list re-exchanged inside the round (per-round edge shuffle):\n$p")
+      assert(p.contains("InMemoryTableScan"), s"round must read the edge cache:\n$p")
+    } finally {
+      edges.unpersist()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("x110 core: the Generate barriers keep the md5 shingle chain computed once") {
     // the stateless core cannot persist (it must run as a streaming
     // plan), so its shingle/hash arrays are pinned behind explode-of-one
