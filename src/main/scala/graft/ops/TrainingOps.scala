@@ -204,8 +204,24 @@ object TrainingOps {
     // partitioning, so the candidate shingle-attach joins keyed on the id
     // read the cache without re-exchanging it
     val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-    spread.select(col("doc_id"), shingleSetCol(col("text"), k).as("sh"))
-      .select(col("doc_id"), col("sh"), shingleHashCol(col("sh")).as("hl"))
+    // The band keys are computed INTO the persisted table (every caller
+    // derives them, and the 2×4 minhash passes over the hash array are
+    // the pair pipeline's second-biggest CPU term after the md5 chain
+    // itself — ~10 CPU-s per query at sf0.1 recomputed from cache
+    // before this). Generate (explode-of-one) barriers pin sh and hl
+    // computed ONCE per row below the persist: CollapseProject would
+    // otherwise re-inline the per-shingle md5 chain into all eight
+    // minhash lambdas (the x13 209-s disease, the ingestKeyed idiom).
+    val enriched = spread.select(col("doc_id"),
+      explode(array(shingleSetCol(col("text"), k))).as("sh"))
+    val hashed = enriched.select(col("doc_id"), col("sh"),
+      explode(array(shingleHashCol(col("sh")))).as("hl"))
+    val (k0, k1) = bandKeyPair(col("hl"))
+    // hl is consumed entirely by the key derivation — persisting only
+    // (doc_id, sh, bk0, bk1) keeps the hash array (the fattest column)
+    // out of the cache
+    hashed.select(col("doc_id"), col("sh"),
+        k0.as("bk0"), k1.as("bk1"))
       .persist()
   }
 
@@ -218,15 +234,15 @@ object TrainingOps {
     (concat_ws(":", ms.take(4): _*), concat_ws(":", ms.drop(4): _*))
   }
 
-  /** 2×4-row minhash band keys over a [[shingleBase]] table. */
-  private def bandKeys(base: DataFrame): DataFrame = {
-    val (k0, k1) = bandKeyPair(col("hl"))
+  /** 2×4-row minhash band keys over a [[shingleBase]]-shaped table —
+    * reads the PRECOMPUTED bk0/bk1 columns (materialized once into the
+    * persisted base), so callers never re-run the minhash transforms. */
+  private def bandKeys(base: DataFrame): DataFrame =
     base.select(col("doc_id"),
         explode(array(
-          struct(lit(0).as("band"), k0.as("key")),
-          struct(lit(1).as("band"), k1.as("key")))).as("b"))
+          struct(lit(0).as("band"), col("bk0").as("key")),
+          struct(lit(1).as("band"), col("bk1").as("key")))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
-  }
 
   /** Exact-duplicate membership (doc_id → normalized-text fingerprint)
     * and one representative (min doc_id) per group — the pre-collapse in
@@ -2594,11 +2610,16 @@ object TrainingOps {
       i => substring(nrm, i.cast("int"), lit(k)))
     // one materialization boundary after the md5 hash array (the x13
     // CollapseProject lesson: interpreted HOF lambdas re-inline into
-    // every minhash column and join branch without it)
-    val base = spread
+    // every minhash column and join branch without it); band keys are
+    // precomputed into the persisted base behind a Generate barrier —
+    // the shingleBase convention, same rationale
+    val hashed = spread
       .select(col("doc_id"), nrm.as("norm"),
-        transform(array_distinct(sh),
-          s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)).as("hl"))
+        explode(array(transform(array_distinct(sh),
+          s => conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)))).as("hl"))
+    val (ek0, ek1) = bandKeyPair(col("hl"))
+    val base = hashed
+      .select(col("doc_id"), col("norm"), ek0.as("bk0"), ek1.as("bk1"))
       .persist()
     val bands = bandKeys(base)
     val cands = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
