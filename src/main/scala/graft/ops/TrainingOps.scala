@@ -4365,12 +4365,18 @@ object TrainingOps {
       val keepNear = labels
         .select(col("id").as("doc_id"),
           (col("id") === col("comp")).cast(LongType).as("kn"))
-      val gopher = gopherRules(docs)
-        .select(col("doc_id"), col("pass").as("pass_gopher"))
-      docs.select(col("doc_id"), col("source"))
+      // The Gopher verdict rides the SAME corpus projection as
+      // (doc_id, source) — gopherPass(gopherCounts) is the exact
+      // conjunction x101's flag product computes and x110 already
+      // gates on; the old shape scanned the corpus a second time
+      // through gopherRules and joined it back (one full scan + one
+      // corpus-wide exchange pair, per run — guide §2.3: project
+      // before the exchange; §1.2: don't compute what you throw away,
+      // x104 consumes only the pass bit).
+      docs.select(col("doc_id"), col("source"),
+          gopherPass(gopherCounts(col("text"))).as("pass_gopher"))
         .join(keepExact, Seq("doc_id"))
         .join(keepNear, Seq("doc_id"), "left")
-        .join(gopher, Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("keep_exact"),
           coalesce(col("kn"), lit(1L)).as("keep_near"), col("pass_gopher"))
         .withColumn("keep",
